@@ -1,0 +1,419 @@
+"""Batched pYIN pitch tracking on device (JAX/XLA).
+
+The reference extracts F0 with ``librosa.pyin`` on CPU dataloader workers —
+the single hottest kernel of sup-data extraction
+(roar/collections/tts/data/dataset.py:695-708, SURVEY.md §2.9 #9).  This is a
+from-scratch, batched, jit-compiled implementation of the pYIN algorithm
+(Mauch & Dixon 2014) with librosa-compatible semantics and defaults:
+
+1. CMNDF (cumulative-mean-normalized difference) per frame, computed with an
+   FFT autocorrelation — one big batched rFFT instead of librosa's per-frame
+   numpy loop.
+2. Parabolic interpolation of trough positions.
+3. Trough priors: beta-distributed threshold sweep + Boltzmann weighting over
+   trough rank (all threshold constants precomputed host-side with scipy).
+4. HMM over 2*n_pitch_bins states (voiced bins + unvoiced twins) with a
+   triangle-window local transition kernel and voiced<->unvoiced switch
+   probability; Viterbi decoded with a `lax.scan` + backtrack.
+
+Everything is static-shape and batched over utterances, so a whole manifest
+shard can be pushed through one jit call on a TPU chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TINY = 1.1754944e-38  # float32 tiny, matches np.finfo(np.float32).tiny
+
+
+@dataclasses.dataclass(frozen=True)
+class PyinConfig:
+    """pYIN parameters; defaults mirror librosa.pyin's signature."""
+
+    sample_rate: int = 22050
+    fmin: float = 65.40639132514966  # C2, librosa note_to_hz('C2')
+    fmax: float = 2093.004522404789  # C7
+    frame_length: int = 2048
+    win_length: Optional[int] = None  # -> frame_length // 2
+    hop_length: Optional[int] = None  # -> frame_length // 4
+    n_thresholds: int = 100
+    beta_a: float = 2.0
+    beta_b: float = 18.0
+    boltzmann_parameter: float = 2.0
+    resolution: float = 0.1
+    max_transition_rate: float = 35.92
+    switch_prob: float = 0.01
+    no_trough_prob: float = 0.01
+    fill_na: float = 0.0
+    center: bool = True
+
+    @property
+    def win(self) -> int:
+        return self.win_length or self.frame_length // 2
+
+    @property
+    def hop(self) -> int:
+        return self.hop_length or self.frame_length // 4
+
+    @property
+    def min_period(self) -> int:
+        return max(int(math.ceil(self.sample_rate / self.fmax)), 1)
+
+    @property
+    def max_period(self) -> int:
+        return min(
+            int(math.floor(self.sample_rate / self.fmin)),
+            self.frame_length - self.win - 1,
+        )
+
+    @property
+    def n_periods(self) -> int:
+        return self.max_period - self.min_period + 1
+
+    @property
+    def n_bins_per_semitone(self) -> int:
+        return int(math.ceil(1.0 / self.resolution))
+
+    @property
+    def n_pitch_bins(self) -> int:
+        return (
+            int(
+                math.floor(
+                    12 * self.n_bins_per_semitone * math.log2(self.fmax / self.fmin)
+                )
+            )
+            + 1
+        )
+
+    @property
+    def max_semitones_per_frame(self) -> int:
+        return round(self.max_transition_rate * 12 * self.hop / self.sample_rate)
+
+    @property
+    def transition_width(self) -> int:
+        return self.max_semitones_per_frame * self.n_bins_per_semitone + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        if self.center:
+            return num_samples // self.hop + 1
+        return (num_samples - self.frame_length) // self.hop + 1
+
+    def freqs(self) -> np.ndarray:
+        """Pitch-bin center frequencies [n_pitch_bins]."""
+        return self.fmin * 2.0 ** (
+            np.arange(self.n_pitch_bins) / (12 * self.n_bins_per_semitone)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Host-side static tables
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _beta_probs(n_thresholds: int, a: float, b: float) -> np.ndarray:
+    """P(threshold bucket) under Beta(a, b), [n_thresholds]."""
+    from scipy.stats import beta as beta_dist
+
+    thresholds = np.linspace(0.0, 1.0, n_thresholds + 1)
+    cdf = beta_dist.cdf(thresholds, a, b)
+    return np.diff(cdf).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _transition_matrix(
+    n_pitch_bins: int, transition_width: int, switch_prob: float
+) -> np.ndarray:
+    """[2N, 2N] row-stochastic transition matrix.
+
+    Local pitch movement is a row-normalized triangle window of
+    `transition_width` bins; voiced<->unvoiced switching is a 2x2 kron factor
+    — the same construction librosa builds with transition_local + kron.
+    """
+    n = n_pitch_bins
+    width = transition_width
+    local = np.zeros((n, n), dtype=np.float64)
+    half = width // 2
+    offsets = np.arange(-half, half + 1)
+    tri = 1.0 - np.abs(offsets) / float(half + 1)  # triangle window, peak 1
+    for i in range(n):
+        j = i + offsets
+        valid = (j >= 0) & (j < n)
+        row = np.zeros(n)
+        row[j[valid]] = tri[valid]
+        local[i] = row / row.sum()
+    switch = np.array(
+        [[1.0 - switch_prob, switch_prob], [switch_prob, 1.0 - switch_prob]]
+    )
+    return np.kron(switch, local).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Framing + CMNDF
+# ---------------------------------------------------------------------------
+
+
+def frame_audio(audio: jnp.ndarray, cfg: PyinConfig) -> jnp.ndarray:
+    """[B, S] -> [B, T, frame_length]; center pads with zeros (librosa's
+    pyin pad_mode='constant')."""
+    if cfg.center:
+        pad = cfg.frame_length // 2
+        audio = jnp.pad(audio, ((0, 0), (pad, pad)))
+    t = (audio.shape[-1] - cfg.frame_length) // cfg.hop + 1
+    idx = np.arange(t)[:, None] * cfg.hop + np.arange(cfg.frame_length)[None, :]
+    return audio[:, idx]
+
+
+def cumulative_mean_normalized_difference(
+    frames: jnp.ndarray, cfg: PyinConfig
+) -> jnp.ndarray:
+    """CMNDF d'(tau) for tau in [min_period, max_period].
+
+    frames: [..., frame_length] -> [..., n_periods].
+    Difference function d(tau) = r_t(0) + r_{t+tau}(0) - 2*acf(tau), with the
+    autocorrelation computed in the frequency domain.
+    """
+    fl, w = cfg.frame_length, cfg.win
+    x = frames.astype(jnp.float32)
+
+    # acf(tau) over window w: irfft(rfft(x) * rfft(reversed x[:w+1]))[w:]
+    a = jnp.fft.rfft(x, n=fl, axis=-1)
+    head_rev = jnp.flip(x[..., : w + 1], axis=-1)
+    b = jnp.fft.rfft(head_rev, n=fl, axis=-1)
+    acf = jnp.fft.irfft(a * b, n=fl, axis=-1)[..., w:]
+    acf = jnp.where(jnp.abs(acf) < 1e-6, 0.0, acf)
+
+    # Rolling window energy: E(tau) = sum_{i=tau+1}^{tau+w} x_i^2
+    # (librosa alignment: cumsum[w+tau] - cumsum[tau])
+    energy_cum = jnp.cumsum(jnp.square(x), axis=-1)
+    energy = energy_cum[..., w:] - energy_cum[..., :-w]
+    energy = jnp.where(jnp.abs(energy) < 1e-6, 0.0, energy)
+
+    d = energy[..., :1] + energy - 2.0 * acf  # [..., fl - w]
+
+    tau = jnp.arange(1, cfg.max_period + 1, dtype=jnp.float32)
+    cum_mean = jnp.cumsum(d[..., 1 : cfg.max_period + 1], axis=-1) / tau
+    numerator = d[..., cfg.min_period : cfg.max_period + 1]
+    denominator = cum_mean[..., cfg.min_period - 1 : cfg.max_period]
+    return numerator / (denominator + _TINY)
+
+
+def parabolic_shifts(yin: jnp.ndarray) -> jnp.ndarray:
+    """Sub-bin shift of each local extremum via parabola vertex; zero at the
+    edges, for shifts >1 bin, and where curvature is non-positive."""
+    y0 = yin[..., :-2]
+    y1 = yin[..., 1:-1]
+    y2 = yin[..., 2:]
+    a = (y0 + y2 - 2.0 * y1) / 2.0
+    b = (y2 - y0) / 2.0
+    shift = -b / (2.0 * a + _TINY)
+    shift = jnp.where(jnp.abs(shift) <= 1.0, shift, 0.0)
+    pad = [(0, 0)] * (yin.ndim - 1) + [(1, 1)]
+    return jnp.pad(shift, pad)
+
+
+# ---------------------------------------------------------------------------
+# Trough priors
+# ---------------------------------------------------------------------------
+
+
+def _boltzmann_pmf(k: jnp.ndarray, lam: float, n: jnp.ndarray) -> jnp.ndarray:
+    """Boltzmann (truncated discrete exponential) pmf."""
+    n = jnp.maximum(n.astype(jnp.float32), 1.0)
+    return (
+        (1.0 - jnp.exp(-lam))
+        * jnp.exp(-lam * k.astype(jnp.float32))
+        / (1.0 - jnp.exp(-lam * n))
+    )
+
+
+def trough_probabilities(yin: jnp.ndarray, cfg: PyinConfig) -> jnp.ndarray:
+    """Per-period candidate probabilities, dense [..., n_periods].
+
+    Non-trough positions carry probability 0.  Implements the pYIN trough
+    prior: for each of `n_thresholds` beta-distributed tolerance thresholds,
+    troughs below the threshold are ranked and weighted by a Boltzmann
+    distribution over rank; the global minimum absorbs `no_trough_prob` of
+    the mass of thresholds that admit no trough.
+    """
+    beta_probs = jnp.asarray(_beta_probs(cfg.n_thresholds, cfg.beta_a, cfg.beta_b))
+    thresholds = jnp.linspace(0.0, 1.0, cfg.n_thresholds + 1)[1:]  # upper edges
+
+    # local minima along the period axis (edges handled as librosa: index 0
+    # is a trough iff yin[0] < yin[1]; last index never via localmin)
+    prev_ = yin[..., :-2]
+    cur = yin[..., 1:-1]
+    next_ = yin[..., 2:]
+    interior = (cur < prev_) & (cur <= next_)
+    first = (yin[..., :1] < yin[..., 1:2])
+    is_trough = jnp.concatenate(
+        [first, interior, jnp.zeros_like(yin[..., :1], dtype=bool)], axis=-1
+    )
+
+    heights = jnp.where(is_trough, yin, jnp.inf)
+
+    # [..., P, n_thresholds]: does this trough fall below each threshold?
+    below = is_trough[..., :, None] & (heights[..., :, None] < thresholds)
+    rank = jnp.cumsum(below, axis=-2) - 1  # rank of trough under threshold
+    n_troughs = jnp.sum(below, axis=-2, keepdims=True)  # [..., 1, n_thresh]
+    pmf = _boltzmann_pmf(rank, cfg.boltzmann_parameter, n_troughs)
+    pmf = jnp.where(below, pmf, 0.0)
+    probs = jnp.einsum("...pt,t->...p", pmf, beta_probs)
+
+    # Global-minimum trough absorbs no-trough mass of the empty thresholds.
+    global_min = jnp.argmin(heights, axis=-1)  # [...]
+    min_height = jnp.min(heights, axis=-1)
+    beta_cdf = jnp.cumsum(beta_probs)
+    # number of thresholds with no trough below them == count(threshold <= h_min)
+    n_empty = jnp.sum(thresholds[None] <= min_height[..., None], axis=-1)
+    empty_mass = jnp.where(
+        n_empty > 0, beta_cdf[jnp.maximum(n_empty - 1, 0)], 0.0
+    )
+    bonus = cfg.no_trough_prob * empty_mass
+    onehot = jax.nn.one_hot(global_min, yin.shape[-1], dtype=probs.dtype)
+    has_trough = jnp.any(is_trough, axis=-1, keepdims=True)
+    probs = probs + jnp.where(has_trough, onehot * bonus[..., None], 0.0)
+    return probs
+
+
+# ---------------------------------------------------------------------------
+# Observations + Viterbi
+# ---------------------------------------------------------------------------
+
+
+def observation_probs(
+    probs: jnp.ndarray, shifts: jnp.ndarray, cfg: PyinConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map period-candidate probabilities to pitch-bin observations.
+
+    probs, shifts: [F, n_periods] (F = flattened frames).
+    Returns (obs [F, 2*n_pitch_bins], voiced_prob [F]).
+    """
+    f, p = probs.shape
+    n_bins = cfg.n_pitch_bins
+    periods = (
+        cfg.min_period + jnp.arange(p, dtype=jnp.float32)[None, :] + shifts
+    )
+    f0 = cfg.sample_rate / jnp.maximum(periods, 1e-6)
+    bin_idx = 12 * cfg.n_bins_per_semitone * jnp.log2(f0 / cfg.fmin)
+    bin_idx = jnp.clip(jnp.round(bin_idx), 0, n_bins - 1).astype(jnp.int32)
+
+    frame_idx = jnp.broadcast_to(jnp.arange(f)[:, None], (f, p))
+    voiced = jnp.zeros((f, n_bins), probs.dtype)
+    voiced = voiced.at[frame_idx.reshape(-1), bin_idx.reshape(-1)].add(
+        probs.reshape(-1)
+    )
+    voiced_prob = jnp.clip(jnp.sum(voiced, axis=-1), 0.0, 1.0)
+    unvoiced = jnp.broadcast_to(
+        ((1.0 - voiced_prob) / n_bins)[:, None], (f, n_bins)
+    )
+    return jnp.concatenate([voiced, unvoiced], axis=-1), voiced_prob
+
+
+def viterbi_decode(
+    log_obs: jnp.ndarray, log_trans: jnp.ndarray, log_init: jnp.ndarray
+) -> jnp.ndarray:
+    """Max-product decoding. log_obs: [B, T, N]; log_trans: [N, N];
+    log_init: [N].  Returns states [B, T] int32."""
+    b, t, n = log_obs.shape
+
+    v0 = log_init[None, :] + log_obs[:, 0]  # [B, N]
+
+    def step(v, obs_t):
+        # scores[b, i, j] = v[b, i] + log_trans[i, j]
+        scores = v[:, :, None] + log_trans[None]
+        ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)  # [B, N]
+        v_new = jnp.max(scores, axis=1) + obs_t
+        return v_new, ptr
+
+    v_final, ptrs = jax.lax.scan(step, v0, jnp.swapaxes(log_obs[:, 1:], 0, 1))
+    last = jnp.argmax(v_final, axis=-1).astype(jnp.int32)  # [B]
+
+    def back(state, ptr_t):
+        prev = jnp.take_along_axis(ptr_t, state[:, None], axis=1)[:, 0]
+        return prev, prev
+
+    # ptrs[k] maps the state at frame k+1 back to frame k; walking them in
+    # reverse yields states T-2 .. 0.
+    _, prevs = jax.lax.scan(back, last, ptrs[::-1])
+    states = jnp.concatenate([prevs[::-1], last[None]], axis=0)  # [T, B]
+    return states.swapaxes(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def pyin(
+    audio: jnp.ndarray,
+    audio_lens: jnp.ndarray,
+    cfg: PyinConfig,
+    frame_chunk: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched pYIN.
+
+    Args:
+        audio: [B, S] float32 (padded).
+        audio_lens: [B] valid sample counts.
+        cfg: parameters.
+        frame_chunk: trough-prior frames processed per map step (bounds the
+            [chunk, n_periods, n_thresholds] intermediate).
+
+    Returns:
+        f0 [B, T] (fill_na where unvoiced / beyond length),
+        voiced_mask [B, T] bool,
+        voiced_prob [B, T] float32.
+    """
+    if audio.ndim == 1:
+        audio = audio[None]
+    b = audio.shape[0]
+
+    frames = frame_audio(audio.astype(jnp.float32), cfg)  # [B, T, fl]
+    t = frames.shape[1]
+    yin = cumulative_mean_normalized_difference(frames, cfg)  # [B, T, P]
+    shifts = parabolic_shifts(yin)
+
+    # Trough priors in frame chunks to bound the threshold intermediate.
+    p = cfg.n_periods
+    flat_yin = yin.reshape(-1, p)
+    f = flat_yin.shape[0]
+    pad_f = (-f) % frame_chunk
+    flat_yin = jnp.pad(flat_yin, ((0, pad_f), (0, 0)), constant_values=jnp.inf)
+    chunks = flat_yin.reshape(-1, frame_chunk, p)
+    probs = jax.lax.map(lambda c: trough_probabilities(c, cfg), chunks)
+    probs = probs.reshape(-1, p)[:f]
+
+    obs, voiced_prob = observation_probs(probs, shifts.reshape(-1, p), cfg)
+    n_states = 2 * cfg.n_pitch_bins
+    log_obs = jnp.log(obs.reshape(b, t, n_states) + _TINY)
+
+    trans = _transition_matrix(
+        cfg.n_pitch_bins, cfg.transition_width, cfg.switch_prob
+    )
+    log_trans = jnp.asarray(np.log(trans + _TINY))
+    p_init = np.zeros(n_states, dtype=np.float32)
+    p_init[cfg.n_pitch_bins :] = 1.0 / cfg.n_pitch_bins
+    log_init = jnp.asarray(np.log(p_init + _TINY))
+
+    states = viterbi_decode(log_obs, log_trans, log_init)  # [B, T]
+
+    freqs = jnp.asarray(cfg.freqs().astype(np.float32))
+    f0 = freqs[states % cfg.n_pitch_bins]
+    voiced = states < cfg.n_pitch_bins
+
+    # Mask frames beyond each utterance's valid frame count.
+    n_frames = cfg.num_frames(audio_lens)
+    valid = jnp.arange(t)[None, :] < n_frames[:, None]
+    voiced = voiced & valid
+    f0 = jnp.where(voiced, f0, cfg.fill_na)
+    voiced_prob = jnp.where(valid, voiced_prob.reshape(b, t), 0.0)
+    return f0, voiced, voiced_prob

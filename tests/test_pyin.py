@@ -1,0 +1,263 @@
+"""pYIN tests: behavioral F0 accuracy + an independent numpy/scipy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from roar_tpu.ops.pyin import (
+    PyinConfig,
+    cumulative_mean_normalized_difference,
+    frame_audio,
+    observation_probs,
+    parabolic_shifts,
+    pyin,
+    trough_probabilities,
+    viterbi_decode,
+    _beta_probs,
+    _transition_matrix,
+)
+
+scipy_stats = pytest.importorskip("scipy.stats")
+
+
+SMALL = PyinConfig(
+    sample_rate=8000,
+    fmin=80.0,
+    fmax=400.0,
+    frame_length=512,
+    center=True,
+)
+
+
+def _sine(freq, sr, dur, amp=0.5):
+    t = np.arange(int(sr * dur)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral tests
+# ---------------------------------------------------------------------------
+
+
+def test_pyin_tracks_sine():
+    cfg = SMALL
+    f_true = 220.0
+    x = _sine(f_true, cfg.sample_rate, 0.5)
+    f0, voiced, vprob = pyin(jnp.asarray(x)[None], jnp.asarray([len(x)]), cfg)
+    f0, voiced = np.asarray(f0)[0], np.asarray(voiced)[0]
+    # Interior frames must be voiced and within half a bin (~0.6%) of truth.
+    inner = slice(4, len(f0) - 4)
+    assert voiced[inner].mean() > 0.95
+    rel_err = np.abs(f0[inner][voiced[inner]] - f_true) / f_true
+    assert np.median(rel_err) < 0.01
+
+
+def test_pyin_silence_is_unvoiced():
+    cfg = SMALL
+    x = np.zeros(4000, np.float32)
+    f0, voiced, vprob = pyin(jnp.asarray(x)[None], jnp.asarray([len(x)]), cfg)
+    assert not np.asarray(voiced).any()
+    assert (np.asarray(f0) == cfg.fill_na).all()
+
+
+def test_pyin_mixed_voiced_unvoiced():
+    cfg = SMALL
+    sr = cfg.sample_rate
+    rng = np.random.default_rng(0)
+    x = np.concatenate(
+        [
+            np.zeros(2000, np.float32),
+            _sine(150.0, sr, 0.5),
+            (0.02 * rng.standard_normal(2000)).astype(np.float32),
+        ]
+    )
+    f0, voiced, vprob = pyin(jnp.asarray(x)[None], jnp.asarray([len(x)]), cfg)
+    f0, voiced = np.asarray(f0)[0], np.asarray(voiced)[0]
+    hop = cfg.hop
+    tone = slice((2000 + 4 * hop) // hop, (2000 + 4000 - 4 * hop) // hop)
+    assert voiced[tone].mean() > 0.9
+    assert np.abs(np.median(f0[tone][voiced[tone]]) - 150.0) < 5.0
+    head = slice(0, 2000 // hop - 2)
+    assert voiced[head].mean() < 0.3
+
+
+def test_pyin_batched_matches_single():
+    cfg = SMALL
+    x1 = _sine(196.0, cfg.sample_rate, 0.4)
+    x2 = _sine(330.0, cfg.sample_rate, 0.25)
+    max_len = max(len(x1), len(x2))
+    batch = np.zeros((2, max_len), np.float32)
+    batch[0, : len(x1)] = x1
+    batch[1, : len(x2)] = x2
+    lens = jnp.asarray([len(x1), len(x2)])
+    f0_b, v_b, _ = pyin(jnp.asarray(batch), lens, cfg)
+
+    f0_1, v_1, _ = pyin(jnp.asarray(x1)[None], jnp.asarray([len(x1)]), cfg)
+    t1 = cfg.num_frames(len(x1))
+    np.testing.assert_allclose(
+        np.asarray(f0_b)[0, :t1], np.asarray(f0_1)[0, :t1], atol=1e-4
+    )
+    # Padded region of the shorter utterance is masked out.
+    t2 = cfg.num_frames(len(x2))
+    assert not np.asarray(v_b)[1, t2:].any()
+
+
+def test_pyin_variable_length_masking():
+    cfg = SMALL
+    x = _sine(110.0, cfg.sample_rate, 0.5)
+    padded = np.concatenate([x, np.zeros(1000, np.float32)])
+    f0, voiced, vprob = pyin(
+        jnp.asarray(padded)[None], jnp.asarray([len(x)]), cfg
+    )
+    t_valid = cfg.num_frames(len(x))
+    assert not np.asarray(voiced)[0, t_valid:].any()
+    assert np.asarray(vprob)[0, t_valid:].sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# Oracle tests (independent numpy/scipy implementation of each stage)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_cmndf(frames, cfg):
+    fl, w = cfg.frame_length, cfg.win
+    out = []
+    for x in frames:
+        a = np.fft.rfft(x, fl)
+        b = np.fft.rfft(x[w::-1], fl)
+        acf = np.fft.irfft(a * b, fl)[w:]
+        acf[np.abs(acf) < 1e-6] = 0
+        cum = np.cumsum(x**2)
+        energy = cum[w:] - cum[:-w]
+        energy[np.abs(energy) < 1e-6] = 0
+        d = energy[0] + energy - 2 * acf
+        tau = np.arange(1, cfg.max_period + 1)
+        cmean = np.cumsum(d[1 : cfg.max_period + 1]) / tau
+        num = d[cfg.min_period : cfg.max_period + 1]
+        den = cmean[cfg.min_period - 1 : cfg.max_period]
+        out.append(num / (den + np.finfo(np.float32).tiny))
+    return np.stack(out)
+
+
+def _oracle_trough_probs(yin_row, cfg):
+    """Single-frame trough prior with scipy.stats beta + boltzmann."""
+    thresholds = np.linspace(0, 1, cfg.n_thresholds + 1)
+    beta_probs = np.diff(scipy_stats.beta.cdf(thresholds, cfg.beta_a, cfg.beta_b))
+    p = len(yin_row)
+    is_trough = np.zeros(p, bool)
+    is_trough[0] = yin_row[0] < yin_row[1]
+    for i in range(1, p - 1):
+        is_trough[i] = yin_row[i] < yin_row[i - 1] and yin_row[i] <= yin_row[i + 1]
+    (idx,) = np.nonzero(is_trough)
+    probs = np.zeros(p)
+    if len(idx) == 0:
+        return probs
+    heights = yin_row[idx]
+    below = heights[:, None] < thresholds[None, 1:]
+    positions = np.cumsum(below, axis=0) - 1
+    n_troughs = np.count_nonzero(below, axis=0)
+    prior = scipy_stats.boltzmann.pmf(
+        positions, cfg.boltzmann_parameter, np.maximum(n_troughs, 1)
+    )
+    prior[~below] = 0
+    trough_probs = prior.dot(beta_probs)
+    gmin = np.argmin(heights)
+    n_empty = np.count_nonzero(~below[gmin, :])
+    trough_probs[gmin] += cfg.no_trough_prob * beta_probs[:n_empty].sum()
+    probs[idx] = trough_probs
+    return probs
+
+
+def test_cmndf_matches_oracle():
+    cfg = SMALL
+    rng = np.random.default_rng(1)
+    x = (_sine(170, cfg.sample_rate, 0.3) + 0.05 * rng.standard_normal(2400)).astype(
+        np.float32
+    )
+    frames = np.asarray(frame_audio(jnp.asarray(x)[None], cfg))[0]
+    got = np.asarray(cumulative_mean_normalized_difference(jnp.asarray(frames), cfg))
+    ref = _oracle_cmndf(frames.astype(np.float64), cfg)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_trough_probabilities_match_oracle():
+    cfg = SMALL
+    rng = np.random.default_rng(2)
+    x = (_sine(170, cfg.sample_rate, 0.2) + 0.05 * rng.standard_normal(1600)).astype(
+        np.float32
+    )
+    frames = frame_audio(jnp.asarray(x)[None], cfg)
+    yin = cumulative_mean_normalized_difference(frames, cfg)[0]  # [T, P]
+    got = np.asarray(trough_probabilities(yin, cfg))
+    yin_np = np.asarray(yin).astype(np.float64)
+    for t in range(yin_np.shape[0]):
+        ref = _oracle_trough_probs(yin_np[t], cfg)
+        np.testing.assert_allclose(got[t], ref, atol=2e-4)
+
+
+def test_observation_probs_sum_to_one():
+    cfg = SMALL
+    rng = np.random.default_rng(3)
+    x = (_sine(200, cfg.sample_rate, 0.2) + 0.01 * rng.standard_normal(1600)).astype(
+        np.float32
+    )
+    frames = frame_audio(jnp.asarray(x)[None], cfg)
+    yin = cumulative_mean_normalized_difference(frames, cfg)
+    probs = trough_probabilities(yin, cfg)
+    shifts = parabolic_shifts(yin)
+    t = yin.shape[1]
+    obs, vprob = observation_probs(
+        probs.reshape(t, -1), shifts.reshape(t, -1), cfg
+    )
+    obs = np.asarray(obs)
+    vprob = np.asarray(vprob)
+    # voiced mass == clipped sum of candidate probs; unvoiced fills the rest
+    totals = obs[:, : cfg.n_pitch_bins].sum(-1) + obs[:, cfg.n_pitch_bins :].mean(
+        -1
+    ) * cfg.n_pitch_bins
+    np.testing.assert_allclose(
+        totals, np.clip(vprob, 0, 1) + (1 - vprob), atol=1e-4
+    )
+
+
+def test_viterbi_matches_bruteforce():
+    rng = np.random.default_rng(4)
+    b, t, n = 2, 12, 7
+    log_obs = np.log(rng.random((b, t, n)).astype(np.float32) + 1e-3)
+    trans = rng.random((n, n)) + 1e-3
+    trans /= trans.sum(1, keepdims=True)
+    log_trans = np.log(trans.astype(np.float32))
+    init = rng.random(n) + 1e-3
+    init /= init.sum()
+    log_init = np.log(init.astype(np.float32))
+
+    got = np.asarray(
+        viterbi_decode(jnp.asarray(log_obs), jnp.asarray(log_trans), jnp.asarray(log_init))
+    )
+
+    # brute-force DP
+    for bi in range(b):
+        v = log_init + log_obs[bi, 0]
+        ptr = np.zeros((t, n), np.int64)
+        for ti in range(1, t):
+            scores = v[:, None] + log_trans
+            ptr[ti] = scores.argmax(0)
+            v = scores.max(0) + log_obs[bi, ti]
+        ref = np.zeros(t, np.int64)
+        ref[-1] = v.argmax()
+        for ti in range(t - 1, 0, -1):
+            ref[ti - 1] = ptr[ti, ref[ti]]
+        np.testing.assert_array_equal(got[bi], ref)
+
+
+def test_static_tables():
+    bp = _beta_probs(100, 2.0, 18.0)
+    assert bp.shape == (100,)
+    np.testing.assert_allclose(bp.sum(), 1.0, atol=1e-6)
+    tm = _transition_matrix(30, 11, 0.01)
+    assert tm.shape == (60, 60)
+    np.testing.assert_allclose(tm.sum(1), 1.0, atol=1e-5)
+    # switching mass: each half-row sums to 1-switch or switch
+    np.testing.assert_allclose(tm[:30, :30].sum(1), 0.99, atol=1e-6)
+    np.testing.assert_allclose(tm[:30, 30:].sum(1), 0.01, atol=1e-6)
