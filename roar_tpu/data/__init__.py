@@ -1,0 +1,13 @@
+"""Data pipeline: manifests, tokenizers, audio IO, sup-data, datasets."""
+
+from roar_tpu.data.audio import AudioSegment, read_wav, resample, trim_silence, write_wav  # noqa: F401
+from roar_tpu.data.dataset import BucketSpec, TTSDataset, VocoderDataset  # noqa: F401
+from roar_tpu.data.manifest import filter_by_duration, read_manifest, write_manifest  # noqa: F401
+from roar_tpu.data.sampling import LengthBucketBatchSampler, weighted_indices  # noqa: F401
+from roar_tpu.data.sup_data import (  # noqa: F401
+    SUP_DATA_TYPES,
+    SupDataConfig,
+    SupDataExtractor,
+    pitch_statistics,
+)
+from roar_tpu.data import tokenizers  # noqa: F401

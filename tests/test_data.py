@@ -1,0 +1,279 @@
+"""Data layer tests: tokenizers, audio IO, manifest, dataset end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+from roar_tpu.data import (
+    AudioSegment,
+    BucketSpec,
+    LengthBucketBatchSampler,
+    SupDataConfig,
+    SupDataExtractor,
+    TTSDataset,
+    VocoderDataset,
+    pitch_statistics,
+    read_manifest,
+    read_wav,
+    resample,
+    write_manifest,
+    write_wav,
+)
+from roar_tpu.data.tokenizers import (
+    BengaliCharsTokenizer,
+    EnglishCharsTokenizer,
+    HindiCharsTokenizer,
+    TamilCharsTokenizer,
+)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizers
+# ---------------------------------------------------------------------------
+
+
+def test_tamil_tokenizer_roundtrip():
+    tok = TamilCharsTokenizer(pad_with_space=True)
+    text = "வணக்கம் உலகம்"
+    ids = tok.encode(text)
+    assert len(ids) == len(text) + 2  # padded with spaces
+    assert tok.decode(ids).strip() == text
+    # pad/oov ids beyond base tokens
+    assert tok.pad == len(tok.tokens) - 2
+    assert tok.oov == len(tok.tokens) - 1
+
+
+def test_hindi_tokenizer_mixed_language_and_digits():
+    tok = HindiCharsTokenizer()
+    ids = tok.encode("नमस्ते ABC 42!")
+    decoded = tok.decode(ids)
+    assert "नमस्ते" in decoded
+    assert "abc" in decoded  # ascii folded to lowercase
+    assert "42" in decoded
+    assert "!" in decoded
+
+
+def test_bengali_tokenizer_skips_unknown():
+    tok = BengaliCharsTokenizer()
+    with pytest.warns(UserWarning):
+        ids = tok.encode("বাংলা 中")  # CJK char must be skipped with warning
+    assert tok.decode(ids) == "বাংলা"
+
+
+def test_english_tokenizer_preprocessing():
+    tok = EnglishCharsTokenizer()
+    ids = tok.encode("Héllo, World’s!")
+    assert tok.decode(ids) == "hello, world's!"
+
+
+def test_whitespace_collapsing_and_trailing_strip():
+    tok = EnglishCharsTokenizer()
+    assert tok.decode(tok.encode("a   b  ")) == "a b"
+
+
+# ---------------------------------------------------------------------------
+# Audio IO
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 22050
+    t = np.arange(sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, sr)
+    y, sr2 = read_wav(p)
+    assert sr2 == sr
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_resample_preserves_tone(tmp_path):
+    sr_in, sr_out = 44100, 22050
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, sr_in, sr_out)
+    assert abs(len(y) - sr_out) <= 1
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(y[:16384]))
+    peak_hz = spec.argmax() * sr_out / 16384
+    assert abs(peak_hz - 440) < 5
+
+
+def test_audio_segment_trim(tmp_path):
+    sr = 22050
+    x = np.concatenate(
+        [np.zeros(sr // 2), 0.5 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr), np.zeros(sr // 2)]
+    ).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, sr)
+    seg = AudioSegment.from_file(p, target_sr=sr, trim=True)
+    assert seg.num_samples < len(x) - sr // 2  # most silence removed
+
+
+# ---------------------------------------------------------------------------
+# Manifest + sampler
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_roundtrip(tmp_path):
+    p = tmp_path / "m.json"
+    entries = [
+        {"audio_filepath": "a.wav", "text": "hello", "duration": 1.0},
+        {"audio_filepath": "b.wav", "text": "world", "duration": 2.0},
+    ]
+    write_manifest(p, entries)
+    assert read_manifest(p) == entries
+
+
+def test_bucket_sampler_sharding():
+    lengths = list(np.random.default_rng(0).uniform(1, 10, size=103))
+    all_idx = set()
+    for rank in range(4):
+        s = LengthBucketBatchSampler(
+            lengths, batch_size=4, num_shards=4, shard_rank=rank, seed=1
+        )
+        batches = list(s)
+        assert all(len(b) == 4 for b in batches)
+        for b in batches:
+            all_idx.update(b)
+    # shards are disjoint and equally sized
+    s0 = LengthBucketBatchSampler(lengths, 4, 4, 0, seed=1)
+    s1 = LengthBucketBatchSampler(lengths, 4, 4, 1, seed=1)
+    assert len(list(s0)) == len(list(s1))
+    assert len(all_idx) <= 103
+
+
+def test_bucket_sampler_batches_have_similar_lengths():
+    rng = np.random.default_rng(2)
+    lengths = rng.uniform(1, 30, size=256)
+    s = LengthBucketBatchSampler(lengths, batch_size=8, seed=0)
+    spreads = []
+    for batch in s:
+        ls = lengths[list(batch)]
+        spreads.append(ls.max() - ls.min())
+    # Bucketed batches should be far tighter than random batching.
+    assert np.median(spreads) < 8.0
+
+
+# ---------------------------------------------------------------------------
+# Dataset end-to-end on a synthetic manifest
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    sr = 22050
+    entries = []
+    rng = np.random.default_rng(0)
+    freqs = [165.0, 220.0, 110.0]
+    for i, f in enumerate(freqs):
+        dur = 0.5 + 0.3 * i
+        t = np.arange(int(sr * dur)) / sr
+        x = (0.4 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(len(t))).astype(
+            np.float32
+        )
+        p = root / f"wavs/utt{i}.wav"
+        p.parent.mkdir(exist_ok=True)
+        write_wav(str(p), x, sr)
+        entries.append(
+            {
+                "audio_filepath": str(p),
+                "text": f"வணக்கம் உலகம் {i}",
+                "duration": dur,
+                "speaker_id": i % 2,
+            }
+        )
+    man = root / "manifest.json"
+    write_manifest(man, entries)
+    return root, man, sr
+
+
+def test_tts_dataset_end_to_end(tiny_corpus):
+    root, man, sr = tiny_corpus
+    tok = TamilCharsTokenizer(pad_with_space=True)
+    ds = TTSDataset(
+        manifest_filepath=str(man),
+        sample_rate=sr,
+        text_tokenizer=tok,
+        sup_data_path=str(root / "sup"),
+        sup_data_types=["align_prior_matrix", "pitch", "energy", "speaker_id"],
+        n_fft=1024,
+        win_length=1024,
+        hop_length=256,
+        n_mels=80,
+        highfreq=8000,
+        min_duration=0.1,
+    )
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["text"].dtype == np.int32
+    assert item["pitch"].ndim == 1
+    # pYIN should find the 165 Hz tone
+    voiced_pitch = item["pitch"][item["pitch"] > 0]
+    assert len(voiced_pitch) > 0
+    assert abs(np.median(voiced_pitch) - 165.0) < 8.0
+    # prior matches (mel_len, text_len)
+    assert item["align_prior_matrix"].shape == (int(item["mel_len"]), int(item["text_len"]))
+    # energy positive on the tone
+    assert item["energy"].max() > 0
+
+    # cache hit on second access — no recompute needed
+    again = ds[0]
+    np.testing.assert_allclose(again["pitch"], item["pitch"])
+
+    batch = ds.collate([ds[i] for i in range(3)], BucketSpec(16, 32, 16384))
+    assert batch["text"].shape[1] % 16 == 0
+    assert batch["pitch"].shape[1] % 32 == 0
+    assert batch["audio"].shape[1] % 16384 == 0
+    assert batch["align_prior_matrix"].shape == (
+        3,
+        batch["pitch"].shape[1],
+        batch["text"].shape[1],
+    )
+    # padding of text uses pad id
+    assert (batch["text"][0, int(batch["text_len"][0]):] == tok.pad).all()
+
+
+def test_pitch_normalization(tiny_corpus):
+    root, man, sr = tiny_corpus
+    tok = TamilCharsTokenizer()
+    ds = TTSDataset(
+        manifest_filepath=str(man),
+        sample_rate=sr,
+        text_tokenizer=tok,
+        sup_data_path=str(root / "sup"),
+        sup_data_types=["pitch"],
+        n_fft=1024,
+        win_length=1024,
+        hop_length=256,
+        pitch_norm=True,
+        pitch_mean=165.0,
+        pitch_std=30.0,
+    )
+    item = ds[0]
+    # previously-zero frames stay exactly zero; voiced frames normalized
+    raw = ds.extractor.load_cached("pitch", ds.file_id(ds.entries[0]))
+    assert ((item["pitch"] == 0) == (raw == 0)).all()
+    voiced = raw > 0
+    np.testing.assert_allclose(
+        item["pitch"][voiced], (raw[voiced] - 165.0) / 30.0, atol=1e-5
+    )
+
+
+def test_vocoder_dataset(tiny_corpus):
+    root, man, sr = tiny_corpus
+    ds = VocoderDataset(
+        manifest_filepath=str(man), sample_rate=sr, n_segments=8192, seed=3
+    )
+    item = ds[0]
+    assert item["audio"].shape == (8192,)
+    batch = ds.collate([ds[i] for i in range(3)])
+    assert batch["audio"].shape == (3, 8192)
+
+
+def test_pitch_statistics():
+    stats = pitch_statistics([np.array([0.0, 100.0, 200.0]), np.array([0.0, 0.0])])
+    assert stats["pitch_mean"] == 150.0
+    assert stats["pitch_min"] == 100.0
