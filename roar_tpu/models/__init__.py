@@ -1,0 +1,16 @@
+"""Model zoo (flax.linen)."""
+
+from roar_tpu.models.aligner import AlignmentEncoder  # noqa: F401
+from roar_tpu.models.fastpitch import (  # noqa: F401
+    AlignerConfig,
+    FastPitchModule,
+    FFTConfig,
+    PredictorConfig,
+    TemporalPredictor,
+)
+from roar_tpu.models.transformer import (  # noqa: F401
+    FFTransformerDecoder,
+    FFTransformerEncoder,
+    MultiHeadAttn,
+    TransformerLayer,
+)

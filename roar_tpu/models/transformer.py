@@ -1,0 +1,246 @@
+"""FastPitch "FFT" transformer blocks (flax.linen).
+
+Re-design of roar/collections/tts/modules/transformer.py:49-357
+(PositionwiseConvFF, TransformerLayer, FFTransformerDecoder/Encoder) and
+modules/attention.py:27-100 (MultiHeadAttn), TPU-first:
+
+- [B, T, C] layout throughout; convs are nn.Conv (feature-last), attention is
+  one fused einsum-softmax-einsum that XLA maps to the MXU.
+- Padding keys are masked ADDITIVELY with a large negative bias.  (The
+  reference passes a 0/1 float mask to torch SDPA — attention.py:78-82 —
+  which torch interprets as an additive +1 bonus on padding keys; we
+  implement the evidently intended key masking instead.)
+- Dropout is handled with flax `deterministic` flags; attention-prob dropout
+  (`dropatt`) matches the reference's SDPA dropout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from roar_tpu.models.submodules import ConditionalInput, ConditionalLayerNorm
+
+_MASK_NEG = -1e9
+
+
+def sinusoidal_positional_embedding(
+    length: int, d_model: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """[length, d_model] = concat(sin(pos*inv_freq), cos(pos*inv_freq))
+    (modules/postional_embedding.py:6-27)."""
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0.0, d_model, 2.0) / d_model))
+    pos = np.arange(length, dtype=np.float64)
+    sinusoid = np.outer(pos, inv_freq)
+    emb = np.concatenate([np.sin(sinusoid), np.cos(sinusoid)], axis=-1)
+    return jnp.asarray(emb, dtype)
+
+
+class MultiHeadAttn(nn.Module):
+    """Fused-QKV self-attention with post/pre conditional LayerNorm."""
+
+    n_head: int
+    d_model: int
+    d_head: int
+    dropout: float
+    dropatt: float = 0.1
+    pre_lnorm: bool = False
+    condition_types: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, conditioning=None, deterministic=True):
+        residual = x
+        ln = ConditionalLayerNorm(
+            self.d_model, self.d_model, self.condition_types, name="layer_norm"
+        )
+        if self.pre_lnorm:
+            x = ln(x, conditioning)
+
+        b, t, _ = x.shape
+        qkv = nn.Dense(3 * self.n_head * self.d_head, name="qkv_net")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(b, t, self.n_head, self.d_head)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_head, x.dtype))
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if key_mask is not None:
+            # key_mask: [B, T] True = valid
+            bias = jnp.where(key_mask[:, None, None, :], 0.0, _MASK_NEG)
+            scores = scores + bias.astype(scores.dtype)
+        probs = nn.softmax(scores, axis=-1)
+        if self.dropatt > 0.0:
+            probs = nn.Dropout(rate=self.dropatt)(probs, deterministic=deterministic)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(
+            b, t, self.n_head * self.d_head
+        )
+        out = nn.Dense(self.d_model, use_bias=False, name="o_net")(attn)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+
+        if self.pre_lnorm:
+            return residual + out
+        return ln(residual + out, conditioning)
+
+
+class PositionwiseConvFF(nn.Module):
+    """Conv1d(k) -> ReLU -> Conv1d(k) FFN with residual + conditional LN
+    (transformer.py:49-103)."""
+
+    d_model: int
+    d_inner: int
+    kernel_size: int
+    dropout: float
+    pre_lnorm: bool = False
+    condition_types: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(self, x, conditioning=None, deterministic=True):
+        ln = ConditionalLayerNorm(
+            self.d_model, self.d_model, self.condition_types, name="layer_norm"
+        )
+
+        def core(z):
+            z = nn.Conv(self.d_inner, (self.kernel_size,), padding="SAME")(z)
+            z = nn.relu(z)
+            z = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME")(z)
+            return nn.Dropout(rate=self.dropout)(z, deterministic=deterministic)
+
+        if self.pre_lnorm:
+            return x + core(ln(x, conditioning))
+        return ln(x + core(x), conditioning)
+
+
+class TransformerLayer(nn.Module):
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    kernel_size: int
+    dropout: float
+    dropatt: float = 0.1
+    pre_lnorm: bool = False
+    condition_types: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(self, x, mask, conditioning=None, deterministic=True):
+        # mask: [B, T, 1] float (1 = valid)
+        out = MultiHeadAttn(
+            self.n_head,
+            self.d_model,
+            self.d_head,
+            self.dropout,
+            self.dropatt,
+            self.pre_lnorm,
+            self.condition_types,
+            name="dec_attn",
+        )(x, key_mask=mask[..., 0] > 0, conditioning=conditioning, deterministic=deterministic)
+        out = out * mask
+        out = PositionwiseConvFF(
+            self.d_model,
+            self.d_inner,
+            self.kernel_size,
+            self.dropout,
+            self.pre_lnorm,
+            self.condition_types,
+            name="pos_ff",
+        )(out, conditioning, deterministic=deterministic)
+        return out * mask
+
+
+class FFTransformerDecoder(nn.Module):
+    """Stack of TransformerLayers over pre-embedded input
+    (transformer.py:148-223)."""
+
+    n_layer: int
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    kernel_size: int
+    dropout: float
+    dropatt: float
+    dropemb: float = 0.0
+    pre_lnorm: bool = False
+    condition_types: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(
+        self, x, mask, conditioning=None, deterministic=True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # mask: [B, T, 1]
+        t = x.shape[1]
+        pos = sinusoidal_positional_embedding(t, self.d_model, x.dtype)
+        x = x + pos[None] * mask
+        x = ConditionalInput(
+            self.d_model, self.d_model, self.condition_types, name="cond_input"
+        )(x, conditioning)
+        x = nn.Dropout(rate=self.dropemb)(x, deterministic=deterministic)
+        for i in range(self.n_layer):
+            x = TransformerLayer(
+                self.n_head,
+                self.d_model,
+                self.d_head,
+                self.d_inner,
+                self.kernel_size,
+                self.dropout,
+                self.dropatt,
+                self.pre_lnorm,
+                self.condition_types,
+                name=f"layers_{i}",
+            )(x, mask, conditioning, deterministic=deterministic)
+        return x, mask
+
+
+class FFTransformerEncoder(nn.Module):
+    """Token-embedding front + FFTransformerDecoder (transformer.py:306-357).
+
+    The padding token embeds to zero (padding_idx semantics) and defines the
+    sequence mask.
+    """
+
+    n_layer: int
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    kernel_size: int
+    dropout: float
+    dropatt: float
+    n_embed: int
+    d_embed: Optional[int] = None
+    padding_idx: int = 0
+    dropemb: float = 0.0
+    pre_lnorm: bool = False
+    condition_types: Sequence[str] = ()
+
+    def setup(self):
+        self.word_emb = nn.Embed(self.n_embed, self.d_embed or self.d_model)
+        self.stack = FFTransformerDecoder(
+            self.n_layer,
+            self.n_head,
+            self.d_model,
+            self.d_head,
+            self.d_inner,
+            self.kernel_size,
+            self.dropout,
+            self.dropatt,
+            self.dropemb,
+            self.pre_lnorm,
+            self.condition_types,
+        )
+
+    def embed(self, tokens):
+        mask = (tokens != self.padding_idx)[..., None]
+        emb = self.word_emb(tokens) * mask.astype(jnp.float32)
+        return emb, mask
+
+    def __call__(self, tokens, conditioning=None, deterministic=True):
+        emb, mask = self.embed(tokens)
+        return self.stack(
+            emb, mask.astype(emb.dtype), conditioning, deterministic=deterministic
+        )

@@ -1,0 +1,208 @@
+"""FastPitch model graph tests: shapes, jit, grads, train-vs-infer paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roar_tpu.losses import (
+    bin_loss,
+    duration_loss,
+    forward_sum_loss,
+    mel_loss,
+    pitch_loss,
+)
+from roar_tpu.models import (
+    AlignerConfig,
+    FastPitchModule,
+    FFTConfig,
+    PredictorConfig,
+)
+from roar_tpu.ops.priors import beta_binomial_prior
+
+
+def tiny_model(n_speakers=1, energy=False):
+    d = 32
+    # multi-speaker models condition like fastpitch_22050_align.yaml:162-186
+    ct = ("add", "layernorm") if n_speakers > 1 else ()
+    fft = FFTConfig(
+        n_layer=2, n_head=1, d_model=d, d_head=16, d_inner=64, kernel_size=3,
+        condition_types=ct,
+    )
+    return FastPitchModule(
+        n_symbols=40,
+        encoder=fft,
+        decoder=fft,
+        duration_predictor=PredictorConfig(input_size=d, filter_size=16, condition_types=ct),
+        pitch_predictor=PredictorConfig(input_size=d, filter_size=16, condition_types=ct),
+        energy_predictor=PredictorConfig(input_size=d, filter_size=16) if energy else None,
+        aligner=AlignerConfig(n_text_channels=d, n_att_channels=16),
+        n_speakers=n_speakers,
+        symbols_embedding_dim=d,
+        n_mel_channels=20,
+        speaker_emb_condition_prosody=bool(ct),
+        speaker_emb_condition_decoder=bool(ct),
+    )
+
+
+def make_batch(rng, b=2, t_text=12, t_mel=40, n_mel=20):
+    text = rng.integers(1, 40, size=(b, t_text)).astype(np.int32)
+    text[0, -3:] = 0  # padding
+    text_lens = np.array([t_text - 3, t_text], np.int32)
+    spec = rng.standard_normal((b, t_mel, n_mel)).astype(np.float32)
+    mel_lens = np.array([t_mel, t_mel - 6], np.int32)
+    pitch = rng.standard_normal((b, t_mel)).astype(np.float32)
+    prior = np.stack(
+        [np.asarray(beta_binomial_prior(t_text, t_mel)) for _ in range(b)]
+    )
+    return (
+        jnp.asarray(text),
+        jnp.asarray(text_lens),
+        jnp.asarray(spec),
+        jnp.asarray(mel_lens),
+        jnp.asarray(pitch),
+        jnp.asarray(prior),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    text, text_lens, spec, mel_lens, pitch, prior = make_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        text,
+        pitch=pitch,
+        spec=spec,
+        attn_prior=prior,
+        mel_lens=mel_lens,
+        input_lens=text_lens,
+    )
+    return model, params, (text, text_lens, spec, mel_lens, pitch, prior)
+
+
+def test_forward_shapes(model_and_params):
+    model, params, (text, text_lens, spec, mel_lens, pitch, prior) = model_and_params
+    out = model.apply(
+        params,
+        text,
+        pitch=pitch,
+        spec=spec,
+        attn_prior=prior,
+        mel_lens=mel_lens,
+        input_lens=text_lens,
+    )
+    b, t_mel, _ = spec.shape
+    t_text = text.shape[1]
+    assert out["spect"].shape == (b, t_mel, 20)
+    assert out["attn_soft"].shape == (b, 1, t_mel, t_text)
+    assert out["attn_hard_dur"].shape == (b, t_text)
+    # durations from MAS must sum to the true mel lengths
+    np.testing.assert_array_equal(
+        np.asarray(out["attn_hard_dur"]).sum(-1), np.asarray(mel_lens)
+    )
+    # soft attention rows (valid region) sum to 1 over text
+    a = np.asarray(out["attn_soft"])[0, 0]
+    np.testing.assert_allclose(a[: int(mel_lens[0])].sum(-1), 1.0, atol=1e-4)
+
+
+def test_forward_jits_and_losses_finite(model_and_params):
+    model, params, (text, text_lens, spec, mel_lens, pitch, prior) = model_and_params
+
+    @jax.jit
+    def loss_fn(params):
+        out = model.apply(
+            params,
+            text,
+            pitch=pitch,
+            spec=spec,
+            attn_prior=prior,
+            mel_lens=mel_lens,
+            input_lens=text_lens,
+        )
+        l_mel = mel_loss(out["spect"], spec)
+        l_dur = duration_loss(out["log_durs_predicted"], out["attn_hard_dur"], text_lens)
+        l_pitch = pitch_loss(out["pitch_predicted"], out["pitch"], text_lens)
+        l_fs = forward_sum_loss(out["attn_logprob"], text_lens, mel_lens)
+        l_bin = bin_loss(out["attn_hard"], out["attn_soft"])
+        return l_mel + l_dur + l_pitch + l_fs + l_bin
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # MAS / binarization must not receive gradients (stop_gradient) — check
+    # the aligner still gets gradient via forward-sum loss path
+    aligner_grads = jax.tree_util.tree_leaves(
+        grads["params"]["aligner_module"]
+    )
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in aligner_grads)
+
+
+def test_infer_path(model_and_params):
+    model, params, (text, text_lens, *_ ) = model_and_params
+    out = model.apply(params, text, max_mel_len=64, method=model.infer)
+    assert out["spect"].shape == (2, 64, 20)
+    assert (np.asarray(out["num_frames"]) <= 64).all()
+    # padded text rows produce zero predicted duration
+    durs = np.asarray(out["durs_predicted"])
+    assert (durs[0, -3:] == 0).all()
+
+
+def test_multispeaker_conditioning():
+    model = tiny_model(n_speakers=3)
+    rng = np.random.default_rng(1)
+    text, text_lens, spec, mel_lens, pitch, prior = make_batch(rng)
+    speaker = jnp.asarray([0, 2])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        text,
+        pitch=pitch,
+        speaker=speaker,
+        spec=spec,
+        attn_prior=prior,
+        mel_lens=mel_lens,
+        input_lens=text_lens,
+    )
+    out0 = model.apply(
+        params, text, pitch=pitch, speaker=jnp.asarray([0, 0]), spec=spec,
+        attn_prior=prior, mel_lens=mel_lens, input_lens=text_lens,
+    )
+    out1 = model.apply(
+        params, text, pitch=pitch, speaker=jnp.asarray([1, 1]), spec=spec,
+        attn_prior=prior, mel_lens=mel_lens, input_lens=text_lens,
+    )
+    assert not np.allclose(np.asarray(out0["spect"]), np.asarray(out1["spect"]))
+
+
+def test_energy_predictor_path():
+    model = tiny_model(energy=True)
+    rng = np.random.default_rng(2)
+    text, text_lens, spec, mel_lens, pitch, prior = make_batch(rng)
+    energy = jnp.abs(jnp.asarray(rng.standard_normal((2, 40)).astype(np.float32)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        text, pitch=pitch, energy=energy, spec=spec,
+        attn_prior=prior, mel_lens=mel_lens, input_lens=text_lens,
+    )
+    out = model.apply(
+        params, text, pitch=pitch, energy=energy, spec=spec,
+        attn_prior=prior, mel_lens=mel_lens, input_lens=text_lens,
+    )
+    assert out["energy_pred"].shape == (2, 12)
+    assert out["energy_tgt"].shape == (2, 12)
+    assert np.isfinite(np.asarray(out["energy_tgt"])).all()
+
+
+def test_dropout_stochasticity(model_and_params):
+    model, params, (text, text_lens, spec, mel_lens, pitch, prior) = model_and_params
+    kwargs = dict(
+        pitch=pitch, spec=spec, attn_prior=prior, mel_lens=mel_lens,
+        input_lens=text_lens, deterministic=False,
+    )
+    o1 = model.apply(params, text, rngs={"dropout": jax.random.PRNGKey(1)}, **kwargs)
+    o2 = model.apply(params, text, rngs={"dropout": jax.random.PRNGKey(2)}, **kwargs)
+    assert not np.allclose(np.asarray(o1["spect"]), np.asarray(o2["spect"]))
+    o3 = model.apply(params, text, rngs={"dropout": jax.random.PRNGKey(1)}, **kwargs)
+    np.testing.assert_allclose(np.asarray(o1["spect"]), np.asarray(o3["spect"]))
