@@ -1,0 +1,278 @@
+"""HiFi-GAN generator and discriminators (flax.linen).
+
+Re-design of roar/collections/tts/modules/hifigan_modules.py:26-476 for TPU:
+channels-last [B, T, C] layout so 1D convs map straight onto XLA's conv
+lowering, weight normalization via flax nn.WeightNorm (the reparameterized
+training path; `remove_weight_norm` becomes a pure parameter fold for
+inference), spectral norm via nn.SpectralNorm (mutable 'batch_stats' holds
+the power-iteration vectors).
+
+Generator: conv_pre -> [ConvTranspose upsample -> mean of MRF resblocks] x N
+-> conv_post -> tanh (hifigan_modules.py:164-255).
+MPD: period-reshaped 2D convs, periods (2,3,5,7,11) (:257-390).
+MSD: 3 scales with avg-pool downsampling, first one spectrally normalized
+(:392-476).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+_normal_init = nn.initializers.normal(stddev=0.01)
+
+
+def _lrelu(x, slope=LRELU_SLOPE):
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+def wn_conv(
+    features: int,
+    kernel_size: int,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    name=None,
+    padding="SAME",
+    init=True,
+):
+    conv = nn.Conv(
+        features,
+        kernel_size=(kernel_size,),
+        strides=(stride,),
+        kernel_dilation=(dilation,),
+        feature_group_count=groups,
+        padding=padding,
+        kernel_init=_normal_init if init else nn.initializers.lecun_normal(),
+    )
+    return nn.WeightNorm(conv, name=name)
+
+
+class ResBlock1(nn.Module):
+    """Two-conv residual units with dilated first convs
+    (hifigan_modules.py:26-117)."""
+
+    channels: int
+    kernel_size: int
+    dilation: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = _lrelu(x)
+            xt = wn_conv(self.channels, self.kernel_size, dilation=d, name=f"convs1_{i}")(xt)
+            xt = _lrelu(xt)
+            xt = wn_conv(self.channels, self.kernel_size, dilation=1, name=f"convs2_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Single-conv residual units (hifigan_modules.py:120-162)."""
+
+    channels: int
+    kernel_size: int
+    dilation: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = _lrelu(x)
+            xt = wn_conv(self.channels, self.kernel_size, dilation=d, name=f"convs_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """mel [B, T, n_mel] -> audio [B, T * prod(upsample_rates)]."""
+
+    resblock: int = 1
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    initial_input_size: int = 80
+
+    @property
+    def upsample_factor(self) -> int:
+        return int(np.prod(self.upsample_rates))
+
+    @nn.compact
+    def __call__(self, x):
+        block_cls = ResBlock1 if self.resblock == 1 else ResBlock2
+        num_kernels = len(self.resblock_kernel_sizes)
+        x = nn.WeightNorm(
+            nn.Conv(self.upsample_initial_channel, (7,), padding="SAME"),
+            name="conv_pre",
+        )(x)
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = _lrelu(x)
+            x = nn.WeightNorm(
+                nn.ConvTranspose(
+                    ch,
+                    kernel_size=(k,),
+                    strides=(u,),
+                    padding="SAME",
+                    kernel_init=_normal_init,
+                ),
+                name=f"ups_{i}",
+            )(x)
+            xs = jnp.zeros_like(x)
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                xs = xs + block_cls(ch, rk, rd, name=f"resblocks_{i}_{j}")(x)
+            x = xs / num_kernels
+        x = nn.leaky_relu(x, negative_slope=0.01)  # reference uses default slope here
+        x = wn_conv(1, 7, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]  # [B, S]
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (hifigan_modules.py:257-344)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    conv_channels: Sequence[int] = (32, 128, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        # x: [B, S] raw audio
+        b, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, 1)  # [B, H, W, C]
+
+        fmap = []
+        chs = list(self.conv_channels)
+        pad = (self.kernel_size * 1 - 1) // 2
+        for i, ch in enumerate(chs):
+            x = nn.WeightNorm(
+                nn.Conv(
+                    ch,
+                    (self.kernel_size, 1),
+                    strides=(self.stride, 1),
+                    padding=((pad, pad), (0, 0)),
+                    kernel_init=_normal_init,
+                ),
+                name=f"convs_{i}",
+            )(x)
+            x = _lrelu(x)
+            fmap.append(x)
+        x = nn.WeightNorm(
+            nn.Conv(chs[-1], (self.kernel_size, 1), padding=((2, 2), (0, 0))),
+            name="convs_4",
+        )(x)
+        x = _lrelu(x)
+        fmap.append(x)
+        x = nn.WeightNorm(
+            nn.Conv(1, (3, 1), padding=((1, 1), (0, 0))), name="conv_post"
+        )(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, name=f"disc_p{p}")
+            sr, fr = d(y)
+            sg, fg = d(y_hat)
+            real_scores.append(sr)
+            fake_scores.append(sg)
+            real_fmaps.append(fr)
+            fake_fmaps.append(fg)
+        return real_scores, fake_scores, real_fmaps, fake_fmaps
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (hifigan_modules.py:392-430)."""
+
+    use_spectral_norm: bool = False
+    conv_channels: Sequence[int] = (128, 256, 512, 1024)
+
+    def _norm(self, conv, name):
+        if self.use_spectral_norm:
+            return nn.SpectralNorm(conv, name=name)
+        return nn.WeightNorm(conv, name=name)
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        # x: [B, S]
+        c0, c1, c2, c3 = self.conv_channels
+        specs = [
+            (c0, 15, 1, 1),
+            (c0, 41, 2, 4),
+            (c1, 41, 2, 16),
+            (c2, 41, 4, 16),
+            (c3, 41, 4, 16),
+            (c3, 41, 1, 16),
+            (c3, 5, 1, 1),
+        ]
+        x = x[..., None]  # [B, S, 1]
+        fmap = []
+        for i, (ch, k, s, g) in enumerate(specs):
+            conv = nn.Conv(
+                ch,
+                (k,),
+                strides=(s,),
+                feature_group_count=g,
+                padding=[((k - 1) // 2, (k - 1) // 2)],
+                kernel_init=_normal_init,
+            )
+            layer = self._norm(conv, f"convs_{i}")
+            x = (
+                layer(x, update_stats=update_stats)
+                if self.use_spectral_norm
+                else layer(x)
+            )
+            x = _lrelu(x)
+            fmap.append(x)
+        post = nn.Conv(1, (3,), padding=[(1, 1)])
+        layer = self._norm(post, "conv_post")
+        x = layer(x, update_stats=update_stats) if self.use_spectral_norm else layer(x)
+        fmap.append(x)
+        b = x.shape[0]
+        return x.reshape(b, -1), fmap
+
+
+def _avg_pool_1d(x, window=4, stride=2, padding=2):
+    # x: [B, S]; torch AvgPool1d(4, 2, padding=2) with count_include_pad=True
+    xp = jnp.pad(x, ((0, 0), (padding, padding)))
+    out = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add, (1, window), (1, stride), "VALID"
+    )
+    return out / window
+
+
+class MultiScaleDiscriminator(nn.Module):
+    @nn.compact
+    def __call__(self, y, y_hat, update_stats: bool = False):
+        real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = _avg_pool_1d(y)
+                y_hat = _avg_pool_1d(y_hat)
+            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"disc_s{i}")
+            sr, fr = d(y, update_stats=update_stats)
+            sg, fg = d(y_hat, update_stats=update_stats)
+            real_scores.append(sr)
+            fake_scores.append(sg)
+            real_fmaps.append(fr)
+            fake_fmaps.append(fg)
+        return real_scores, fake_scores, real_fmaps, fake_fmaps

@@ -1,0 +1,102 @@
+"""HiFi-GAN module tests: shapes, upsampling factor, GAN losses, grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roar_tpu.losses.hifigan_losses import (
+    discriminator_loss,
+    feature_matching_loss,
+    generator_loss,
+    l1_mel_loss,
+)
+from roar_tpu.models.hifigan import (
+    Generator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+
+
+def tiny_generator():
+    return Generator(
+        resblock=2,
+        upsample_rates=(8, 8, 4),
+        upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=64,
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        initial_input_size=20,
+    )
+
+
+def test_generator_upsamples_by_factor():
+    g = tiny_generator()
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 20)), jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), mel)
+    audio = g.apply(params, mel)
+    assert audio.shape == (2, 16 * g.upsample_factor)
+    assert g.upsample_factor == 256
+    assert np.abs(np.asarray(audio)).max() <= 1.0  # tanh range
+
+
+def test_generator_v1_config_shape():
+    # v1 from conf/hifigan/model/generator/v1.yaml: rates 8,8,2,2 channels 512
+    g = Generator()
+    mel = jnp.zeros((1, 8, 80), jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), mel)
+    audio = g.apply(params, mel)
+    assert audio.shape == (1, 8 * 256)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    # HiFi-GAN v1 has ~13.9M params (weight-norm doubles count via v+g scale)
+    assert 13e6 < n_params < 16e6
+
+
+def test_mpd_msd_shapes_and_losses():
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    pv = mpd.init(jax.random.PRNGKey(0), y, y_hat)
+    rs, fs, fr, fg = mpd.apply(pv, y, y_hat)
+    assert len(rs) == 2 and len(fr) == 2
+    assert all(len(f) == 6 for f in fr)
+
+    msd = MultiScaleDiscriminator()
+    variables = msd.init(jax.random.PRNGKey(0), y, y_hat)
+    assert "batch_stats" in variables  # spectral norm power-iteration state
+    (rs2, fs2, fr2, fg2), new_stats = msd.apply(
+        variables, y, y_hat, update_stats=True, mutable=["batch_stats"]
+    )
+    assert len(rs2) == 3
+
+    d_loss, r_l, g_l = discriminator_loss(rs + rs2, fs + fs2)
+    g_loss, _ = generator_loss(fs + fs2)
+    fm = feature_matching_loss(fr + fr2, fg + fg2)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_loss)) and np.isfinite(float(fm))
+    assert float(fm) > 0
+
+
+def test_gan_loss_values():
+    # perfect discriminator: real -> 1, fake -> 0 gives zero loss
+    real = [jnp.ones((2, 10))]
+    fake = [jnp.zeros((2, 10))]
+    d, _, _ = discriminator_loss(real, fake)
+    assert float(d) == 0.0
+    g, _ = generator_loss([jnp.ones((2, 10))])
+    assert float(g) == 0.0
+    assert float(l1_mel_loss(jnp.ones((1, 4, 4)), jnp.ones((1, 4, 4)))) == 0.0
+
+
+def test_generator_gradients_flow():
+    g = tiny_generator()
+    mel = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 20)), jnp.float32)
+    params = g.init(jax.random.PRNGKey(0), mel)
+
+    def loss(p):
+        return jnp.mean(jnp.square(g.apply(p, mel)))
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
