@@ -1,0 +1,171 @@
+"""Config loading, interpolation, overrides, and instantiation."""
+
+from __future__ import annotations
+
+import copy
+import importlib
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+_INTERP_RE = re.compile(r"\$\{([^}]+)\}")
+
+
+def load_yaml(path: Union[str, Path]) -> Dict[str, Any]:
+    with open(path, "r", encoding="utf-8") as f:
+        return yaml.safe_load(f) or {}
+
+
+def _get_path(cfg: Dict[str, Any], dotted: str):
+    cur: Any = cfg
+    for part in dotted.split("."):
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        elif isinstance(cur, list):
+            cur = cur[int(part)]
+        else:
+            raise KeyError(dotted)
+    return cur
+
+
+def _set_path(cfg: Dict[str, Any], dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    cur = cfg
+    for p in parts[:-1]:
+        if isinstance(cur, list):
+            cur = cur[int(p)]
+        else:
+            cur = cur.setdefault(p, {})
+    if isinstance(cur, list):
+        cur[int(parts[-1])] = value
+    else:
+        cur[parts[-1]] = value
+
+
+def _parse_scalar(text: str) -> Any:
+    return yaml.safe_load(text)
+
+
+def resolve_interpolations(cfg: Dict[str, Any], _root=None, _depth=0) -> Any:
+    """Resolve `${a.b.c}` references against the root config (OmegaConf-style,
+    including full-value and embedded string interpolation)."""
+    root = cfg if _root is None else _root
+    if _depth > 20:
+        raise ConfigError("interpolation depth exceeded (cycle?)")
+
+    def resolve_value(v, depth):
+        if isinstance(v, str):
+            m = _INTERP_RE.fullmatch(v.strip())
+            if m:
+                target = _get_path(root, m.group(1))
+                return resolve_value(target, depth + 1)
+            if _INTERP_RE.search(v):
+                def sub(match):
+                    t = resolve_value(_get_path(root, match.group(1)), depth + 1)
+                    return str(t)
+
+                return _INTERP_RE.sub(sub, v)
+            return v
+        if isinstance(v, dict):
+            return {k: resolve_value(x, depth) for k, x in v.items()}
+        if isinstance(v, list):
+            return [resolve_value(x, depth) for x in v]
+        return v
+
+    return resolve_value(cfg, _depth)
+
+
+def merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep merge (override wins; dicts merge recursively)."""
+    out = copy.deepcopy(base)
+    for k, v in (override or {}).items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, Any]:
+    """Apply Hydra-style dotlist overrides: `a.b=1 c.d=[1,2] +e.f=x`."""
+    cfg = copy.deepcopy(cfg)
+    for ov in overrides or ():
+        if "=" not in ov:
+            raise ConfigError(f"Override must look like key=value, got: {ov}")
+        key, val = ov.split("=", 1)
+        key = key.lstrip("+~")
+        _set_path(cfg, key, _parse_scalar(val))
+    return cfg
+
+
+def load_config(
+    path: Union[str, Path],
+    overrides: Optional[Sequence[str]] = None,
+    resolve: bool = True,
+) -> Dict[str, Any]:
+    cfg = load_yaml(path)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    if resolve:
+        cfg = resolve_interpolations(cfg)
+    return cfg
+
+
+def to_yaml(cfg: Dict[str, Any]) -> str:
+    return yaml.safe_dump(cfg, sort_keys=False, allow_unicode=True)
+
+
+# ---------------------------------------------------------------------------
+# Instantiation
+# ---------------------------------------------------------------------------
+
+# Class-path aliases so reference YAML `_target_` paths keep working
+# (e.g. fastpitch_22050_align.yaml names roar.collections...TamilCharsTokenizer).
+_TARGET_ALIASES = {
+    "roar.collections.common.tokenizers.text_to_speech.tts_tokenizers": "roar_tpu.data.tokenizers",
+    "roar.collections.tts.data.dataset": "roar_tpu.data.dataset",
+    "roar.collections.tts.modules.transformer": "roar_tpu.models.transformer",
+    "roar.collections.tts.modules.fastpitch": "roar_tpu.models.fastpitch",
+    "roar.collections.tts.modules.aligner": "roar_tpu.models.aligner",
+    "roar.collections.tts.modules.submodules": "roar_tpu.models.submodules",
+    "roar.collections.tts.modules.hifigan_modules": "roar_tpu.models.hifigan",
+}
+
+
+def import_class_by_path(path: str):
+    """Resolve a dotted class path (model_utils.py:500 equivalent), applying
+    reference->roar_tpu module aliases."""
+    module_path, _, name = path.rpartition(".")
+    for old, new in _TARGET_ALIASES.items():
+        if module_path == old:
+            module_path = new
+            break
+    mod = importlib.import_module(module_path)
+    try:
+        return getattr(mod, name)
+    except AttributeError as e:
+        raise ConfigError(f"Class {name} not found in {module_path}") from e
+
+
+def instantiate(cfg: Any, **kwargs):
+    """Recursively instantiate a `_target_` config dict."""
+    if not isinstance(cfg, dict) or "_target_" not in cfg:
+        raise ConfigError(f"instantiate() expects a dict with _target_, got {cfg!r}")
+    cfg = dict(cfg)
+    target = cfg.pop("_target_")
+    cls = import_class_by_path(target)
+    args = {}
+    for k, v in cfg.items():
+        if isinstance(v, dict) and "_target_" in v:
+            args[k] = instantiate(v)
+        else:
+            args[k] = v
+    args.update(kwargs)
+    return cls(**args)

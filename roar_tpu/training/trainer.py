@@ -1,0 +1,159 @@
+"""Training engine: TrainState, jitted+sharded steps, the fit loop.
+
+A small explicit engine replacing the reference's
+PyTorch-Lightning + ModelPT lattice (SURVEY.md §7 architecture stance):
+
+- TrainState is an explicit pytree (params, opt_state, step, optional EMA).
+- One jitted train_step per task; the batch is sharded over the mesh 'data'
+  axis and XLA inserts the gradient all-reduce (replacing DDP/NCCL,
+  SURVEY.md §5.8).
+- EMA is a shadow pytree updated inside the jitted step (the functional
+  analogue of EMAOptimizer, roar/collections/common/callbacks/ema.py:14-370).
+- Gradient accumulation is a lax-free Python micro-batch loop at the caller
+  level (JETS-style manual optimization, models/jets.py:616-694).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from roar_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+    extra: Optional[Any] = None  # mutable collections (e.g. spectral norm stats)
+
+
+def create_train_state(
+    params: Any,
+    optimizer: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
+    extra: Optional[Any] = None,
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None,
+        extra=extra,
+    )
+
+
+def make_train_step(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
+    donate: bool = True,
+):
+    """Build a jitted train step from `loss_fn(params, batch, rng, epoch) ->
+    (loss, metrics)`."""
+
+    def step_fn(state: TrainState, batch, rng, epoch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, epoch
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params,
+                new_params,
+            )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Minimal epoch/step loop with mesh-sharded batches.
+
+    The task supplies loss_fn; data supplies an iterator of numpy batches.
+    """
+
+    loss_fn: Callable
+    optimizer: optax.GradientTransformation
+    mesh: Optional[Any] = None
+    ema_decay: Optional[float] = None
+    seed: int = 0
+    log_every: int = 50
+    callbacks: Tuple = ()
+
+    def __post_init__(self):
+        self._train_step = make_train_step(self.loss_fn, self.optimizer, self.ema_decay)
+        self._rng = jax.random.PRNGKey(self.seed)
+
+    def init_state(self, params, extra=None) -> TrainState:
+        state = create_train_state(params, self.optimizer, self.ema_decay, extra)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    def _place(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def run_epoch(
+        self,
+        state: TrainState,
+        batches: Iterable[Dict[str, np.ndarray]],
+        epoch: int = 0,
+        logger=None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        last_metrics: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        for i, batch in enumerate(batches):
+            self._rng, step_rng = jax.random.split(self._rng)
+            state, metrics = self._train_step(
+                state, self._place(batch), step_rng, epoch
+            )
+            if logger is not None and (i % self.log_every == 0):
+                host = {k: float(v) for k, v in metrics.items()}
+                host["train_step_timing"] = (time.perf_counter() - t0) / (i + 1)
+                logger.log_metrics(host, step=int(jax.device_get(state.step)))
+            last_metrics = metrics
+            for cb in self.callbacks:
+                cb(state, metrics)
+        return state, {k: float(v) for k, v in last_metrics.items()}
+
+    def evaluate(
+        self,
+        eval_fn: Callable,
+        state: TrainState,
+        batches: Iterable[Dict[str, np.ndarray]],
+        use_ema: bool = False,
+    ) -> Dict[str, float]:
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        totals: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            metrics = eval_fn(params, self._place(batch))
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in totals.items()}

@@ -1,0 +1,216 @@
+"""Training engine tests: optim/schedules, trainer e2e on FastPitch,
+checkpoint/resume, .roar bundles, mesh sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roar_tpu.data import BucketSpec, TTSDataset, write_manifest, write_wav
+from roar_tpu.data.tokenizers import EnglishCharsTokenizer
+from roar_tpu.models.fastpitch_model import FastPitchModel
+from roar_tpu.parallel import make_mesh
+from roar_tpu.training import (
+    ExpManager,
+    Trainer,
+    build_optimizer,
+    get_schedule,
+    restore_from,
+    save_to,
+)
+
+
+# ---------------------------------------------------------------------------
+# Schedules
+# ---------------------------------------------------------------------------
+
+
+def test_noam_annealing_shape():
+    s = get_schedule("NoamAnnealing", initial_lr=1e-3, d_model=1, warmup_steps=100)
+    lrs = [float(s(jnp.asarray(i))) for i in [0, 50, 99, 100, 1000, 10000]]
+    # rises during warmup, peaks at warmup, decays afterward
+    assert lrs[0] < lrs[1] < lrs[2]
+    assert lrs[3] >= lrs[4] > lrs[5]
+
+
+def test_cosine_annealing_endpoints():
+    s = get_schedule(
+        "CosineAnnealing", initial_lr=1.0, max_steps=1000, warmup_steps=100, min_lr=0.1
+    )
+    assert float(s(jnp.asarray(100))) == pytest.approx(1.0, abs=1e-3)
+    assert float(s(jnp.asarray(1000))) == pytest.approx(0.1, abs=1e-3)
+    assert float(s(jnp.asarray(550))) == pytest.approx(0.55, abs=0.01)
+
+
+def test_build_optimizer_from_reference_cfg():
+    opt = build_optimizer(
+        {
+            "name": "adamw",
+            "lr": 1e-3,
+            "betas": [0.9, 0.999],
+            "weight_decay": 1e-6,
+            "sched": {"name": "NoamAnnealing", "warmup_steps": 10, "d_model": 1, "last_epoch": -1},
+        },
+        gradient_clip_val=1000.0,
+    )
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end FastPitch training on a synthetic corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fp_corpus")
+    sr = 22050
+    entries = []
+    rng = np.random.default_rng(0)
+    texts = ["hello world", "jax on tpu", "fast pitch go", "one two three four"]
+    for i, txt in enumerate(texts):
+        dur = 0.45 + 0.12 * i
+        t = np.arange(int(sr * dur)) / sr
+        f = 140 + 40 * i
+        x = (0.4 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(len(t))).astype(
+            np.float32
+        )
+        p = root / f"wavs/u{i}.wav"
+        p.parent.mkdir(exist_ok=True)
+        write_wav(str(p), x, sr)
+        entries.append(
+            {"audio_filepath": str(p), "text": txt, "duration": dur, "speaker_id": 0}
+        )
+    man = root / "manifest.json"
+    write_manifest(man, entries)
+    return root, man, sr
+
+
+def small_model_cfg():
+    d = 48
+    return {
+        "learn_alignment": True,
+        "bin_loss_warmup_epochs": 2,
+        "n_mel_channels": 32,
+        "symbols_embedding_dim": d,
+        "preprocessor": {
+            "sample_rate": 22050,
+            "features": 32,
+            "n_window_size": 1024,
+            "n_window_stride": 256,
+            "n_fft": 1024,
+            "lowfreq": 0,
+            "highfreq": 8000,
+            "preemph": None,
+            "normalize": None,
+            "mag_power": 1.0,
+            "log": True,
+            "log_zero_guard_type": "add",
+            "log_zero_guard_value": 1e-5,
+            "dither": 0.0,
+            "pad_to": 1,
+        },
+        "text_tokenizer": {
+            "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+            "pad_with_space": True,
+        },
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": d, "d_head": 16, "d_inner": 96},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": d, "d_head": 16, "d_inner": 96},
+        "alignment_module": {"n_text_channels": d, "n_att_channels": 16},
+        "duration_predictor": {"input_size": d, "filter_size": 24},
+        "pitch_predictor": {"input_size": d, "filter_size": 24},
+    }
+
+
+@pytest.fixture(scope="module")
+def fp_setup(corpus):
+    root, man, sr = corpus
+    model = FastPitchModel(small_model_cfg())
+    ds = TTSDataset(
+        manifest_filepath=str(man),
+        sample_rate=sr,
+        text_tokenizer=model.tokenizer,
+        sup_data_path=str(root / "sup"),
+        sup_data_types=["align_prior_matrix", "pitch"],
+        n_fft=1024,
+        win_length=1024,
+        hop_length=256,
+        n_mels=32,
+        highfreq=8000,
+    )
+    buckets = BucketSpec(text_multiple=8, mel_multiple=16, audio_multiple=4096)
+    batch = ds.collate([ds[i] for i in range(4)], buckets)
+    return model, ds, batch
+
+
+def test_fastpitch_trains_and_loss_decreases(fp_setup, tmp_path):
+    model, ds, batch = fp_setup
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    opt = build_optimizer(
+        {"name": "adamw", "lr": 2e-3, "weight_decay": 1e-6}, gradient_clip_val=1000.0
+    )
+
+    def loss_fn(p, b, rng, epoch):
+        return model.loss_fn(p, b, rng, epoch)
+
+    mesh = make_mesh(data=4, model=1)  # 4-way data parallel on the CPU mesh
+    trainer = Trainer(loss_fn=loss_fn, optimizer=opt, mesh=mesh, ema_decay=0.999)
+    state = trainer.init_state(params)
+
+    exp = ExpManager(exp_dir=str(tmp_path / "exp"), name="fp", use_tensorboard=False)
+    losses = []
+    for epoch in range(6):
+        state, metrics = trainer.run_epoch(state, [batch], epoch=epoch, logger=exp.logger)
+        losses.append(metrics["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+    # checkpoint save + restore roundtrip
+    exp.save(state, metrics)
+    restored = exp.restore(jax.device_get(state))
+    rs = jax.tree_util.tree_leaves(restored.params)
+    os_ = jax.tree_util.tree_leaves(jax.device_get(state).params)
+    for a, b in zip(rs, os_):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(restored.step)) == 6
+    exp.close()
+
+    # EMA params differ from raw params but stay close
+    ema = jax.tree_util.tree_leaves(state.ema_params)
+    raw = jax.tree_util.tree_leaves(state.params)
+    diffs = [np.abs(np.asarray(a) - np.asarray(b)).max() for a, b in zip(ema, raw)]
+    assert max(diffs) > 0
+
+    # inference produces a mel
+    tokens = jnp.asarray(model.parse("hello world"))
+    spect, lens = model.generate_spectrogram(state.params, tokens, max_mel_len=256)
+    assert spect.shape == (1, 256, 32)
+    assert 0 < int(lens[0]) <= 256
+
+
+def test_roar_bundle_roundtrip(fp_setup, tmp_path):
+    model, ds, batch = fp_setup
+    params = model.init_params(jax.random.PRNGKey(1), batch)
+    path = str(tmp_path / "model.roar")
+    save_to(path, {"target": "roar_tpu.models.fastpitch_model.FastPitchModel", "model": small_model_cfg()}, params)
+    cfg, restored = restore_from(path, params_template=jax.device_get(params))
+    assert cfg["target"].endswith("FastPitchModel")
+    for a, b in zip(jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(jax.device_get(params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_sharding_over_mesh(fp_setup):
+    model, ds, batch = fp_setup
+    mesh = make_mesh(data=4, model=1)
+    from roar_tpu.parallel import shard_batch
+
+    sharded = shard_batch(batch, mesh)
+    audio = sharded["audio"]
+    assert len(audio.sharding.device_set) == 4
+
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch({"x": np.zeros((3, 2))}, make_mesh(data=8, model=1))
