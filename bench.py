@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark: sup-data extraction throughput (mel frames/sec/chip).
+
+This is BASELINE.json's headline metric: the reference extracts mel + pYIN
+pitch + energy on CPU dataloader workers
+(scripts/dataset_processing/tts/extract_sup_data.py); the build target is
+>=5x that throughput per TPU chip.  We measure:
+
+- baseline: the CPU-reference pYIN+mel pipeline (numpy/scipy single thread,
+  the same algorithm librosa runs) on one utterance, extrapolated to
+  frames/sec — librosa itself is not installed in this image.
+- ours: the batched on-device extractor (log-mel + batched pYIN + energy in
+  one jit), steady-state.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_audio(batch, seconds, sr, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    out = []
+    for i in range(batch):
+        f0 = 110.0 * (2 ** (i % 12 / 12.0))
+        vib = np.sin(2 * np.pi * 5.0 * t) * 0.02
+        x = 0.4 * np.sin(2 * np.pi * f0 * (1 + vib) * t)
+        x += 0.05 * np.sin(2 * np.pi * 2 * f0 * t) + 0.01 * rng.standard_normal(len(t))
+        out.append(x.astype(np.float32))
+    return out
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.data.sup_data import SupDataConfig, _extract_batch
+    from roar_tpu.ops.pyin_reference import pyin_cpu
+    from roar_tpu.ops.spectrogram import frame_energy, log_mel_spectrogram
+
+    sr = 22050
+    cfg = SupDataConfig(
+        sample_rate=sr, n_fft=2048, win_length=2048, hop_length=512, n_mels=80,
+        highfreq=8000.0,
+    )
+    mel_cfg, pyin_cfg = cfg.mel_config(), cfg.pyin_config()
+
+    # ----- CPU reference (single utterance, extrapolated) -----
+    # numpy/scipy twin of librosa.pyin + mel (same algorithm, banded Viterbi)
+    from roar_tpu.ops.spectrogram import _windowed_dft_matrix
+
+    cpu_audio = make_audio(1, 4.0, sr, seed=1)[0]
+    basis = _windowed_dft_matrix(mel_cfg.fft_length, mel_cfg.win_length, mel_cfg.window)
+    fb = mel_cfg.filterbank()
+    t0 = time.perf_counter()
+    f0_cpu, _, _ = pyin_cpu(cpu_audio, pyin_cfg)
+    # numpy mel: frame -> windowed DFT matmul -> |.| -> mel -> log
+    pad = mel_cfg.fft_length // 2
+    xp = np.pad(cpu_audio, (pad, pad), mode="reflect")
+    nfr = (len(xp) - mel_cfg.fft_length) // mel_cfg.hop_length + 1
+    fidx = (
+        np.arange(nfr)[:, None] * mel_cfg.hop_length
+        + np.arange(mel_cfg.fft_length)[None, :]
+    )
+    proj = xp[fidx] @ basis
+    nfq = 1 + mel_cfg.fft_length // 2
+    mag = np.sqrt(proj[:, :nfq] ** 2 + proj[:, nfq:] ** 2)
+    _ = np.log(mag @ fb.T + 1e-5)
+    cpu_time = time.perf_counter() - t0
+    cpu_frames = len(cpu_audio) // cfg.hop_length + 1
+    cpu_fps = cpu_frames / cpu_time
+
+    # ----- device path -----
+    # The timed function reduces every output to one scalar checksum on
+    # device; fetching it forces real execution (a plain block_until_ready
+    # can be a no-op under remote-dispatch PJRT plugins).
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def bench_step(audio, lens, mel_cfg, pyin_cfg):
+        mel, mel_lens, energy, f0, voiced, vprob = _extract_batch(
+            audio, lens, mel_cfg, pyin_cfg
+        )
+        return (
+            jnp.sum(mel) + jnp.sum(energy) + jnp.sum(f0) + jnp.sum(vprob)
+        ) + jnp.sum(mel_lens) + jnp.sum(voiced)
+
+    batch, seconds = 16, 10.0
+    audios = make_audio(batch, seconds, sr, seed=2)
+    lens = np.array([len(a) for a in audios], np.int32)
+    pad = int(np.ceil(lens.max() / 16384)) * 16384
+    buf = np.zeros((batch, pad), np.float32)
+    for i, a in enumerate(audios):
+        buf[i, : len(a)] = a
+    dev_audio = jnp.asarray(buf)
+    dev_lens = jnp.asarray(lens)
+
+    # warmup / compile
+    float(bench_step(dev_audio, dev_lens, mel_cfg, pyin_cfg))
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = bench_step(dev_audio, dev_lens, mel_cfg, pyin_cfg)
+    float(s)
+    dt = (time.perf_counter() - t0) / iters
+    total_frames = int(np.sum(lens // cfg.hop_length + 1))
+    fps = total_frames / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "supdata_mel_frames_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / cpu_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _TINY = 1.1754944e-38  # float32 tiny, matches np.finfo(np.float32).tiny
+_NEG_INF = -1e30
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +127,30 @@ def _beta_probs(n_thresholds: int, a: float, b: float) -> np.ndarray:
     thresholds = np.linspace(0.0, 1.0, n_thresholds + 1)
     cdf = beta_dist.cdf(thresholds, a, b)
     return np.diff(cdf).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _band_tables(n_pitch_bins: int, transition_width: int):
+    """(log_tri [W], log_norm [N]) for the banded triangle transition.
+
+    local[i, j] = tri(j - i) / norm(i) for |j - i| <= W//2; the banded
+    Viterbi folds -log_norm into the source value and max-convolves with
+    log_tri — mathematically identical to the dense matrix but ~W/N of the
+    work per step.
+    """
+    n, width = n_pitch_bins, transition_width
+    half = width // 2
+    offsets = np.arange(-half, half + 1)
+    tri = 1.0 - np.abs(offsets) / float(half + 1)
+    norm = np.zeros(n)
+    for i in range(n):
+        j = i + offsets
+        valid = (j >= 0) & (j < n)
+        norm[i] = tri[valid].sum()
+    return (
+        np.log(tri).astype(np.float32),
+        np.log(norm).astype(np.float32),
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -318,6 +343,75 @@ def observation_probs(
     return jnp.concatenate([voiced, unvoiced], axis=-1), voiced_prob
 
 
+def banded_viterbi_decode(
+    log_obs: jnp.ndarray, cfg: PyinConfig
+) -> jnp.ndarray:
+    """Viterbi decode specialized to pYIN's kron(switch, banded-triangle)
+    transition: per step, a width-W max-convolution over pitch bins instead
+    of a dense [2N, 2N] max-plus product (~W/2N of the work).
+
+    log_obs: [B, T, 2N].  Returns states [B, T] int32, identical (up to
+    float ties) to dense Viterbi with `_transition_matrix`.
+    """
+    b, t, n2 = log_obs.shape
+    n = n2 // 2
+    half = cfg.transition_width // 2
+    w = cfg.transition_width
+    log_tri, log_norm = _band_tables(n, cfg.transition_width)
+    log_tri = jnp.asarray(log_tri)
+    log_norm = jnp.asarray(log_norm)
+    log_stay = float(np.log1p(-cfg.switch_prob))
+    log_switch = float(np.log(cfg.switch_prob))
+
+    p_init = np.full(n2, _NEG_INF, np.float32)
+    p_init[n:] = np.log(1.0 / n)
+    v0 = jnp.asarray(p_init)[None] + log_obs[:, 0]
+
+    # window gather indices: for output bin j, sources i = j - half .. j + half
+    win_idx = np.arange(n)[:, None] + np.arange(w)[None, :]  # into padded [-half..]
+
+    def step(v, obs_t):
+        v_v, v_u = v[:, :n], v[:, n:]
+        # fold source-row normalization
+        u_v = v_v - log_norm[None]
+        u_u = v_u - log_norm[None]
+        w_same = jnp.maximum(u_v + log_stay, u_u + log_switch)   # -> voiced
+        w_cross = jnp.maximum(u_v + log_switch, u_u + log_stay)  # -> unvoiced
+        src_is_u_same = (u_u + log_switch) > (u_v + log_stay)
+        src_is_u_cross = (u_u + log_stay) > (u_v + log_switch)
+
+        def band_max(wvals):
+            padded = jnp.pad(
+                wvals, ((0, 0), (half, half)), constant_values=_NEG_INF
+            )
+            windows = padded[:, win_idx] + log_tri[None, None, :]  # [B, N, W]
+            off = jnp.argmax(windows, axis=-1).astype(jnp.int32)
+            best = jnp.max(windows, axis=-1)
+            src = jnp.arange(n, dtype=jnp.int32)[None, :] - half + off
+            return best, jnp.clip(src, 0, n - 1)
+
+        best_v, src_v = band_max(w_same)
+        best_u, src_u = band_max(w_cross)
+
+        # resolve which half each source came from
+        ptr_v = src_v + jnp.take_along_axis(src_is_u_same, src_v, axis=1).astype(jnp.int32) * n
+        ptr_u = src_u + jnp.take_along_axis(src_is_u_cross, src_u, axis=1).astype(jnp.int32) * n
+        new_v = jnp.concatenate([best_v, best_u], axis=1) + obs_t
+        ptr = jnp.concatenate([ptr_v, ptr_u], axis=1).astype(jnp.int32)
+        return new_v, ptr
+
+    v_final, ptrs = jax.lax.scan(step, v0, jnp.swapaxes(log_obs[:, 1:], 0, 1))
+    last = jnp.argmax(v_final, axis=-1).astype(jnp.int32)
+
+    def back(state, ptr_t):
+        prev = jnp.take_along_axis(ptr_t, state[:, None], axis=1)[:, 0]
+        return prev, prev
+
+    _, prevs = jax.lax.scan(back, last, ptrs[::-1])
+    states = jnp.concatenate([prevs[::-1], last[None]], axis=0)
+    return states.swapaxes(0, 1)
+
+
 def viterbi_decode(
     log_obs: jnp.ndarray, log_trans: jnp.ndarray, log_init: jnp.ndarray
 ) -> jnp.ndarray:
@@ -394,17 +488,12 @@ def pyin(
 
     obs, voiced_prob = observation_probs(probs, shifts.reshape(-1, p), cfg)
     n_states = 2 * cfg.n_pitch_bins
-    log_obs = jnp.log(obs.reshape(b, t, n_states) + _TINY)
+    obs = obs.reshape(b, t, n_states)
+    # -700 floor for zero-probability entries mirrors float64
+    # log(x + tiny) semantics (fp32 tiny would give only -87)
+    log_obs = jnp.where(obs > 0, jnp.log(jnp.maximum(obs, 1e-37)), -700.0)
 
-    trans = _transition_matrix(
-        cfg.n_pitch_bins, cfg.transition_width, cfg.switch_prob
-    )
-    log_trans = jnp.asarray(np.log(trans + _TINY))
-    p_init = np.zeros(n_states, dtype=np.float32)
-    p_init[cfg.n_pitch_bins :] = 1.0 / cfg.n_pitch_bins
-    log_init = jnp.asarray(np.log(p_init + _TINY))
-
-    states = viterbi_decode(log_obs, log_trans, log_init)  # [B, T]
+    states = banded_viterbi_decode(log_obs, cfg)  # [B, T]
 
     freqs = jnp.asarray(cfg.freqs().astype(np.float32))
     f0 = freqs[states % cfg.n_pitch_bins]

@@ -261,3 +261,52 @@ def test_static_tables():
     # switching mass: each half-row sums to 1-switch or switch
     np.testing.assert_allclose(tm[:30, :30].sum(1), 0.99, atol=1e-6)
     np.testing.assert_allclose(tm[:30, 30:].sum(1), 0.01, atol=1e-6)
+
+
+def test_banded_viterbi_matches_dense():
+    """Banded decode == dense decode with the explicit transition matrix."""
+    import jax
+
+    from roar_tpu.ops.pyin import banded_viterbi_decode
+
+    cfg = SMALL
+    rng = np.random.default_rng(7)
+    n = cfg.n_pitch_bins
+    b, t = 2, 18
+    obs = rng.random((b, t, 2 * n)).astype(np.float32)
+    obs /= obs.sum(-1, keepdims=True)
+    log_obs_banded = np.where(obs > 0, np.log(np.maximum(obs, 1e-37)), -700.0)
+
+    got = np.asarray(banded_viterbi_decode(jnp.asarray(log_obs_banded), cfg))
+
+    trans = _transition_matrix(n, cfg.transition_width, cfg.switch_prob)
+    log_trans = np.where(trans > 0, np.log(np.maximum(trans, 1e-37)), -1e30).astype(
+        np.float32
+    )
+    init = np.full(2 * n, -1e30, np.float32)
+    init[n:] = np.log(1.0 / n)
+    ref = np.asarray(
+        viterbi_decode(
+            jnp.asarray(log_obs_banded), jnp.asarray(log_trans), jnp.asarray(init)
+        )
+    )
+    assert (got == ref).mean() > 0.98  # identical up to float ties
+
+
+def test_cpu_reference_agrees_with_device():
+    from roar_tpu.ops.pyin_reference import pyin_cpu
+
+    cfg = SMALL
+    rng = np.random.default_rng(8)
+    x = (_sine(180.0, cfg.sample_rate, 0.4) + 0.02 * rng.standard_normal(3200)).astype(
+        np.float32
+    )
+    f0_d, v_d, p_d = pyin(jnp.asarray(x)[None], jnp.asarray([len(x)]), cfg)
+    f0_c, v_c, p_c = pyin_cpu(x, cfg)
+    f0_d = np.asarray(f0_d)[0]
+    v_d = np.asarray(v_d)[0]
+    assert (v_d == v_c).mean() > 0.95
+    both = v_d & v_c
+    if both.any():
+        rel = np.abs(f0_d[both] - f0_c[both]) / f0_c[both]
+        assert np.median(rel) < 0.01
