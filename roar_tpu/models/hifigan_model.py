@@ -1,0 +1,154 @@
+"""HifiGanModel: config-driven GAN vocoder task.
+
+Re-design of roar/collections/tts/models/hifigan.py:41-641: manual
+optimization becomes one jitted alternating GAN step (training/gan.py); the
+mel front-end (the exact_pad/clamp FilterbankFeatures configuration of
+hifigan_22050.yaml:33-53) runs inside the step with gradients flowing
+through the predicted-audio branch for the L1 mel loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roar_tpu.losses.hifigan_losses import (
+    discriminator_loss,
+    feature_matching_loss,
+    generator_loss,
+    l1_mel_loss,
+)
+from roar_tpu.models.fastpitch_model import preprocessor_config
+from roar_tpu.models.hifigan import (
+    Generator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+from roar_tpu.ops.spectrogram import MelConfig, log_mel_spectrogram
+from roar_tpu.training.gan import GANTrainState, create_gan_state, make_gan_train_step
+
+
+def generator_from_config(cfg: Dict[str, Any], initial_input_size: int = 80) -> Generator:
+    """Build a Generator from a reference generator YAML block
+    (conf/hifigan/model/generator/v1.yaml keys)."""
+    return Generator(
+        resblock=cfg.get("resblock", 1),
+        upsample_rates=tuple(cfg.get("upsample_rates", (8, 8, 2, 2))),
+        upsample_kernel_sizes=tuple(cfg.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+        upsample_initial_channel=cfg.get("upsample_initial_channel", 512),
+        resblock_kernel_sizes=tuple(cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in cfg.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)
+        ),
+        initial_input_size=cfg.get("initial_input_size", initial_input_size),
+    )
+
+
+class HifiGanModel:
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        # HiFi-GAN preprocessor: exact_pad + clamp guard + use_grads for the
+        # G-loss branch (hifigan_22050.yaml:33-53)
+        pre = dict(cfg.get("preprocessor", {}))
+        self.mel_cfg = dataclasses.replace(
+            preprocessor_config(pre), use_grads=True
+        )
+        n_mel = self.mel_cfg.nfilt
+        self.generator = generator_from_config(cfg.get("generator", {}), n_mel)
+        self.mpd = MultiPeriodDiscriminator()
+        self.msd = MultiScaleDiscriminator()
+        self.l1_factor = cfg.get("l1_loss_factor", 45)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array, batch: Dict[str, np.ndarray]):
+        audio = jnp.asarray(batch["audio"])
+        lens = jnp.asarray(batch["audio_len"])
+        mel, _ = log_mel_spectrogram(audio, lens, self.mel_cfg)
+        mel = jnp.swapaxes(mel, 1, 2)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        g_params = self.generator.init(r1, mel)
+        fake = self.generator.apply(g_params, mel)
+        mpd_params = self.mpd.init(r2, audio, fake)
+        msd_vars = self.msd.init(r3, audio, fake)
+        d_params = {
+            "mpd": mpd_params["params"],
+            "msd": msd_vars["params"],
+        }
+        d_stats = {"msd": msd_vars.get("batch_stats", {})}
+        return g_params, {"params": d_params}, d_stats
+
+    def _mel(self, audio, lens):
+        mel, mel_lens = log_mel_spectrogram(audio, lens, self.mel_cfg)
+        return jnp.swapaxes(mel, 1, 2), mel_lens
+
+    def _disc_all(self, d_params, d_stats, y, y_hat, update_stats: bool):
+        mpd_out = self.mpd.apply({"params": d_params["params"]["mpd"]}, y, y_hat)
+        msd_vars = {"params": d_params["params"]["msd"], "batch_stats": d_stats["msd"]}
+        if update_stats:
+            msd_out, new_msd = self.msd.apply(
+                msd_vars, y, y_hat, update_stats=True, mutable=["batch_stats"]
+            )
+            new_stats = {"msd": new_msd["batch_stats"]}
+        else:
+            msd_out = self.msd.apply(msd_vars, y, y_hat, update_stats=False)
+            new_stats = d_stats
+        return mpd_out, msd_out, new_stats
+
+    # ------------------------------------------------------------------
+    def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
+        audio = batch["audio"]
+        mel, _ = self._mel(audio, batch["audio_len"])
+        fake = jax.lax.stop_gradient(self.generator.apply(g_params, mel))
+        mpd_out, msd_out, new_stats = self._disc_all(
+            d_params, d_stats, audio, fake, update_stats=True
+        )
+        mpd_real, mpd_fake = mpd_out[0], mpd_out[1]
+        msd_real, msd_fake = msd_out[0], msd_out[1]
+        loss_mpd, _, _ = discriminator_loss(mpd_real, mpd_fake)
+        loss_msd, _, _ = discriminator_loss(msd_real, msd_fake)
+        loss = loss_mpd + loss_msd
+        return loss, ({"d_loss_mpd": loss_mpd, "d_loss_msd": loss_msd}, new_stats)
+
+    def g_loss_fn(self, g_params, d_params, d_stats, batch, rng, epoch):
+        audio = batch["audio"]
+        lens = batch["audio_len"]
+        mel, _ = self._mel(audio, lens)
+        fake = self.generator.apply(g_params, mel)
+        mel_fake, _ = self._mel(fake, lens)
+
+        l_mel = l1_mel_loss(mel_fake, mel) * self.l1_factor
+        mpd_out, msd_out, _ = self._disc_all(
+            d_params, d_stats, audio, fake, update_stats=False
+        )
+        _, mpd_fake, mpd_fr, mpd_fg = mpd_out
+        _, msd_fake, msd_fr, msd_fg = msd_out
+        l_fm = feature_matching_loss(mpd_fr, mpd_fg) + feature_matching_loss(
+            msd_fr, msd_fg
+        )
+        l_adv_mpd, _ = generator_loss(mpd_fake)
+        l_adv_msd, _ = generator_loss(msd_fake)
+        loss = l_mel + l_fm + l_adv_mpd + l_adv_msd
+        return loss, {
+            "g_mel_loss": l_mel,
+            "g_fm_loss": l_fm,
+            "g_adv_loss": l_adv_mpd + l_adv_msd,
+        }
+
+    def make_train_step(self, g_opt, d_opt, ema_decay=None):
+        return make_gan_train_step(
+            self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay
+        )
+
+    def init_state(self, rng, batch, g_opt, d_opt, ema_decay=None) -> GANTrainState:
+        g_params, d_params, d_stats = self.init_params(rng, batch)
+        return create_gan_state(g_params, d_params, g_opt, d_opt, d_stats, ema_decay)
+
+    # ------------------------------------------------------------------
+    def convert_spectrogram_to_audio(self, g_params, spec: jnp.ndarray) -> jnp.ndarray:
+        """mel [B, T, n_mel] -> audio [B, T*upsample]
+        (models/hifigan.py:174-179)."""
+        return self.generator.apply(g_params, spec)

@@ -1,0 +1,98 @@
+"""Two-optimizer GAN training as one jitted step.
+
+The reference uses PTL manual optimization with alternating backward passes
+(roar/collections/tts/models/hifigan.py:181-249, models/jets.py:616-694).
+The functional analogue: one jitted function that (1) takes discriminator
+grads against stop-gradiented generator output and applies the D optimizer,
+(2) takes generator grads through the freshly-updated discriminator and
+applies the G optimizer.  Spectral-norm power-iteration state rides along as
+a mutable collection in the state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    d_stats: Any = None  # spectral-norm power-iteration vectors
+    g_ema: Optional[Any] = None
+
+
+def create_gan_state(
+    g_params, d_params, g_opt, d_opt, d_stats=None, ema_decay=None
+) -> GANTrainState:
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_opt.init(g_params),
+        d_opt_state=d_opt.init(d_params),
+        d_stats=d_stats,
+        g_ema=jax.tree_util.tree_map(jnp.copy, g_params) if ema_decay else None,
+    )
+
+
+def make_gan_train_step(
+    d_loss_fn: Callable,
+    g_loss_fn: Callable,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
+):
+    """Build the jitted alternating step.
+
+    d_loss_fn(d_params, d_stats, g_params, batch, rng, epoch)
+        -> (loss, (metrics, new_d_stats))
+    g_loss_fn(g_params, d_params, d_stats, batch, rng, epoch)
+        -> (loss, metrics)
+    """
+
+    def step_fn(state: GANTrainState, batch, rng, epoch):
+        rng_d, rng_g = jax.random.split(rng)
+
+        # ---- discriminator update ----
+        (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params, state.d_stats, state.g_params, batch, rng_d, epoch)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- generator update (against updated discriminator) ----
+        (g_loss, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, d_params, new_stats, batch, rng_g, epoch
+        )
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        g_ema = state.g_ema
+        if ema_decay is not None and state.g_ema is not None:
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), state.g_ema, g_params
+            )
+
+        metrics = {"d_loss": d_loss, "g_loss": g_loss}
+        metrics.update(d_metrics)
+        metrics.update(g_metrics)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            d_stats=new_stats,
+            g_ema=g_ema,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))

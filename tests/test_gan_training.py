@@ -1,0 +1,99 @@
+"""GAN training tests: HiFi-GAN alternating step runs, losses move, stats update."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roar_tpu.models.hifigan_model import HifiGanModel
+from roar_tpu.training.optim import build_optimizer
+
+
+@pytest.fixture(scope="module")
+def hifigan_setup():
+    cfg = {
+        "preprocessor": {
+            "sample_rate": 22050,
+            "nfilt": 32,
+            "n_window_size": 512,
+            "n_window_stride": 128,
+            "n_fft": 512,
+            "lowfreq": 0,
+            "highfreq": 8000,
+            "pad_to": 0,
+            "pad_value": -11.52,
+            "normalize": None,
+            "preemph": None,
+            "dither": 0.0,
+            "log": True,
+            "log_zero_guard_type": "clamp",
+            "log_zero_guard_value": 1e-05,
+            "mag_power": 1.0,
+            "exact_pad": True,
+        },
+        "generator": {
+            "resblock": 2,
+            "upsample_rates": [8, 4, 4],
+            "upsample_kernel_sizes": [16, 8, 8],
+            "upsample_initial_channel": 48,
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+        },
+        "l1_loss_factor": 45,
+    }
+    model = HifiGanModel(cfg)
+    rng = np.random.default_rng(0)
+    seg = 2048
+    audio = (0.3 * np.sin(2 * np.pi * 220 * np.arange(2 * seg).reshape(2, seg) / 22050)
+             + 0.01 * rng.standard_normal((2, seg))).astype(np.float32)
+    batch = {"audio": jnp.asarray(audio), "audio_len": jnp.asarray([seg, seg])}
+    return model, batch
+
+
+def test_hifigan_generator_upsample_matches_hop(hifigan_setup):
+    model, batch = hifigan_setup
+    # upsample factor must equal hop length so mel -> audio has right length
+    assert model.generator.upsample_factor == model.mel_cfg.hop_length
+
+
+def test_hifigan_gan_step_runs_and_improves(hifigan_setup):
+    model, batch = hifigan_setup
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt, ema_decay=0.999)
+    step = model.make_train_step(g_opt, d_opt, ema_decay=0.999)
+
+    rng = jax.random.PRNGKey(1)
+    mels = []
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub, 0)
+        mels.append(float(metrics["g_mel_loss"]))
+        assert np.isfinite(float(metrics["d_loss"]))
+        assert np.isfinite(float(metrics["g_loss"]))
+    assert int(jax.device_get(state.step)) == 8
+    # mel (reconstruction) component should move downward
+    assert mels[-1] < mels[0], mels
+
+
+def test_spectral_norm_stats_update(hifigan_setup):
+    model, batch = hifigan_setup
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4})
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4})
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+    step = model.make_train_step(g_opt, d_opt)
+    before = jax.tree_util.tree_leaves(jax.device_get(state.d_stats))
+    state, _ = step(state, batch, jax.random.PRNGKey(2), 0)
+    after = jax.tree_util.tree_leaves(jax.device_get(state.d_stats))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+
+
+def test_convert_spectrogram_to_audio(hifigan_setup):
+    model, batch = hifigan_setup
+    g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)
+    mel = jnp.zeros((1, 10, 32))
+    audio = model.convert_spectrogram_to_audio(g_params, mel)
+    assert audio.shape == (1, 10 * model.generator.upsample_factor)
