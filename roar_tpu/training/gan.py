@@ -59,7 +59,11 @@ def make_gan_train_step(
     """
 
     def step_fn(state: GANTrainState, batch, rng, epoch):
-        rng_d, rng_g = jax.random.split(rng)
+        # The SAME rng goes to both losses: tasks that sample inside the
+        # generator forward (JETS random segments, dropout) then see
+        # identical draws in the D and G passes — matching the reference's
+        # single-forward manual optimization (models/jets.py:577-694).
+        rng_d = rng_g = rng
 
         # ---- discriminator update ----
         (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
