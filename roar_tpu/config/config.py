@@ -105,12 +105,29 @@ def apply_overrides(cfg: Dict[str, Any], overrides: Sequence[str]) -> Dict[str, 
     return cfg
 
 
+def _expand_includes(node: Any, base_dir: Path) -> Any:
+    """Replace dicts containing `_file_: rel/path.yaml` with the loaded file
+    (sibling keys override the included content) — our lightweight analogue
+    of Hydra's config groups (`defaults: - model/generator: v1`)."""
+    if isinstance(node, dict):
+        if "_file_" in node:
+            inc_path = base_dir / node["_file_"]
+            included = _expand_includes(load_yaml(inc_path), inc_path.parent)
+            rest = {k: _expand_includes(v, base_dir) for k, v in node.items() if k != "_file_"}
+            return merge(included, rest)
+        return {k: _expand_includes(v, base_dir) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_expand_includes(v, base_dir) for v in node]
+    return node
+
+
 def load_config(
     path: Union[str, Path],
     overrides: Optional[Sequence[str]] = None,
     resolve: bool = True,
 ) -> Dict[str, Any]:
-    cfg = load_yaml(path)
+    path = Path(path)
+    cfg = _expand_includes(load_yaml(path), path.parent)
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     if resolve:

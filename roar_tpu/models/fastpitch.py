@@ -90,6 +90,9 @@ class FFTConfig:
     dropemb: float = 0.0
     pre_lnorm: bool = False
     condition_types: Sequence[str] = ()
+    use_rope: bool = False
+    use_flash: bool = False
+    encoder_type: str = "transformer"  # or "conformer"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +112,54 @@ class AlignerConfig:
     temperature: float = 0.0005
     condition_types: Sequence[str] = ()
     dist_type: str = "l2"
+
+
+def make_encoder(cfg: FFTConfig, n_embed: int, d_embed: int, padding_idx: int):
+    """Encoder factory: FFT transformer or Conformer per cfg.encoder_type."""
+    common = dict(
+        n_layer=cfg.n_layer,
+        n_head=cfg.n_head,
+        d_model=cfg.d_model,
+        d_head=cfg.d_head,
+        d_inner=cfg.d_inner,
+        kernel_size=cfg.kernel_size,
+        dropout=cfg.dropout,
+        dropatt=cfg.dropatt,
+        n_embed=n_embed,
+        d_embed=d_embed,
+        padding_idx=padding_idx,
+        dropemb=cfg.dropemb,
+        condition_types=cfg.condition_types,
+        use_rope=cfg.use_rope,
+        use_flash=cfg.use_flash,
+    )
+    if cfg.encoder_type == "conformer":
+        from roar_tpu.models.conformer import FFConformerEncoder
+
+        return FFConformerEncoder(**common)
+    return FFTransformerEncoder(pre_lnorm=cfg.pre_lnorm, **common)
+
+
+def make_decoder(cfg: FFTConfig):
+    common = dict(
+        n_layer=cfg.n_layer,
+        n_head=cfg.n_head,
+        d_model=cfg.d_model,
+        d_head=cfg.d_head,
+        d_inner=cfg.d_inner,
+        kernel_size=cfg.kernel_size,
+        dropout=cfg.dropout,
+        dropatt=cfg.dropatt,
+        dropemb=cfg.dropemb,
+        condition_types=cfg.condition_types,
+        use_rope=cfg.use_rope,
+        use_flash=cfg.use_flash,
+    )
+    if cfg.encoder_type == "conformer":
+        from roar_tpu.models.conformer import FFConformerDecoder
+
+        return FFConformerDecoder(**common)
+    return FFTransformerDecoder(pre_lnorm=cfg.pre_lnorm, **common)
 
 
 class FastPitchModule(nn.Module):
@@ -142,36 +193,14 @@ class FastPitchModule(nn.Module):
 
     def setup(self):
         enc = self.encoder
-        self.encoder_module = FFTransformerEncoder(
-            enc.n_layer,
-            enc.n_head,
-            enc.d_model,
-            enc.d_head,
-            enc.d_inner,
-            enc.kernel_size,
-            enc.dropout,
-            enc.dropatt,
+        self.encoder_module = make_encoder(
+            enc,
             n_embed=self.n_symbols,
             d_embed=self.symbols_embedding_dim,
             padding_idx=self.padding_idx,
-            dropemb=enc.dropemb,
-            pre_lnorm=enc.pre_lnorm,
-            condition_types=enc.condition_types,
         )
         dec = self.decoder
-        self.decoder_module = FFTransformerDecoder(
-            dec.n_layer,
-            dec.n_head,
-            dec.d_model,
-            dec.d_head,
-            dec.d_inner,
-            dec.kernel_size,
-            dec.dropout,
-            dec.dropatt,
-            dec.dropemb,
-            dec.pre_lnorm,
-            dec.condition_types,
-        )
+        self.decoder_module = make_decoder(dec)
         dp = self.duration_predictor
         self.duration_predictor_module = TemporalPredictor(
             dp.input_size, dp.filter_size, dp.kernel_size, dp.dropout, dp.n_layers, dp.condition_types

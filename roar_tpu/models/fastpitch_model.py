@@ -36,6 +36,10 @@ from roar_tpu.ops.spectrogram import MelConfig, log_mel_spectrogram
 
 
 def _fft_config(cfg: Dict[str, Any]) -> FFTConfig:
+    target = cfg.get("_target_", "")
+    enc_type = cfg.get(
+        "encoder_type", "conformer" if "Conformer" in target else "transformer"
+    )
     return FFTConfig(
         n_layer=cfg.get("n_layer", 6),
         n_head=cfg.get("n_head", 1),
@@ -48,6 +52,9 @@ def _fft_config(cfg: Dict[str, Any]) -> FFTConfig:
         dropemb=cfg.get("dropemb", 0.0),
         pre_lnorm=cfg.get("pre_lnorm", False),
         condition_types=tuple(cfg.get("condition_types", ())),
+        use_rope=cfg.get("use_rope", False),
+        use_flash=cfg.get("use_flash", cfg.get("use_flash_attention", False)),
+        encoder_type=enc_type,
     )
 
 

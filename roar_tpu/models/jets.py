@@ -57,20 +57,15 @@ class JETSModule(nn.Module):
         return self.aligner is not None
 
     def setup(self):
-        enc = self.encoder
-        self.encoder_module = FFTransformerEncoder(
-            enc.n_layer, enc.n_head, enc.d_model, enc.d_head, enc.d_inner,
-            enc.kernel_size, enc.dropout, enc.dropatt,
-            n_embed=self.n_symbols, d_embed=self.symbols_embedding_dim,
-            padding_idx=self.padding_idx, dropemb=enc.dropemb,
-            pre_lnorm=enc.pre_lnorm, condition_types=enc.condition_types,
+        from roar_tpu.models.fastpitch import make_decoder, make_encoder
+
+        self.encoder_module = make_encoder(
+            self.encoder,
+            n_embed=self.n_symbols,
+            d_embed=self.symbols_embedding_dim,
+            padding_idx=self.padding_idx,
         )
-        dec = self.decoder
-        self.decoder_module = FFTransformerDecoder(
-            dec.n_layer, dec.n_head, dec.d_model, dec.d_head, dec.d_inner,
-            dec.kernel_size, dec.dropout, dec.dropatt, dec.dropemb,
-            dec.pre_lnorm, dec.condition_types,
-        )
+        self.decoder_module = make_decoder(self.decoder)
         dp, pp = self.duration_predictor, self.pitch_predictor
         self.duration_predictor_module = TemporalPredictor(
             dp.input_size, dp.filter_size, dp.kernel_size, dp.dropout, dp.n_layers, dp.condition_types

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -39,8 +40,45 @@ def sinusoidal_positional_embedding(
     return jnp.asarray(emb, dtype)
 
 
+def _flash_attention_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def flash_self_attention(q, k, v, key_mask, scale):
+    """Pallas TPU flash attention with padding handled via segment ids.
+
+    q/k/v: [B, T, H, D].  Padding tokens get segment id 1 (valid = 0) so
+    cross-segment attention is masked inside the kernel.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    qt = jnp.swapaxes(q, 1, 2)  # [B, H, T, D]
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    seg = None
+    if key_mask is not None:
+        ids = jnp.where(key_mask, 0, 1).astype(jnp.int32)
+        seg = SegmentIds(q=ids, kv=ids)
+    out = flash_attention(qt, kt, vt, segment_ids=seg, sm_scale=scale)
+    return jnp.swapaxes(out, 1, 2)
+
+
 class MultiHeadAttn(nn.Module):
-    """Fused-QKV self-attention with post/pre conditional LayerNorm."""
+    """Fused-QKV self-attention with post/pre conditional LayerNorm.
+
+    Options (covering the reference's FlashSelfAttention/RoPE path,
+    attention.py:103-195 + nlp positional_encodings.py):
+    - use_rope: rotary position embeddings on q/k (pure-JAX; XLA fuses).
+    - use_flash: Pallas TPU flash-attention kernel when running on TPU
+      (automatically falls back to the einsum path elsewhere or when
+      attention-prob dropout is active, which flash cannot express).
+    """
 
     n_head: int
     d_model: int
@@ -49,6 +87,8 @@ class MultiHeadAttn(nn.Module):
     dropatt: float = 0.1
     pre_lnorm: bool = False
     condition_types: Sequence[str] = ()
+    use_rope: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, key_mask=None, conditioning=None, deterministic=True):
@@ -67,18 +107,34 @@ class MultiHeadAttn(nn.Module):
             return z.reshape(b, t, self.n_head, self.d_head)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.d_head, x.dtype))
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        if key_mask is not None:
-            # key_mask: [B, T] True = valid
-            bias = jnp.where(key_mask[:, None, None, :], 0.0, _MASK_NEG)
-            scores = scores + bias.astype(scores.dtype)
-        probs = nn.softmax(scores, axis=-1)
-        if self.dropatt > 0.0:
-            probs = nn.Dropout(rate=self.dropatt)(probs, deterministic=deterministic)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(
-            b, t, self.n_head * self.d_head
-        )
+
+        if self.use_rope:
+            from roar_tpu.ops.rope import apply_rope, build_rope_cache
+
+            cos, sin = build_rope_cache(t, self.d_head)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        scale = 1.0 / float(np.sqrt(self.d_head))
+        drop_active = self.dropatt > 0.0 and not deterministic
+        if self.use_flash and not drop_active and _flash_attention_available():
+            attn = flash_self_attention(q, k, v, key_mask, scale)
+            attn = attn.reshape(b, t, self.n_head * self.d_head)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            if key_mask is not None:
+                # key_mask: [B, T] True = valid
+                bias = jnp.where(key_mask[:, None, None, :], 0.0, _MASK_NEG)
+                scores = scores + bias.astype(scores.dtype)
+            probs = nn.softmax(scores, axis=-1)
+            if self.dropatt > 0.0:
+                probs = nn.Dropout(rate=self.dropatt)(
+                    probs, deterministic=deterministic
+                )
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(
+                b, t, self.n_head * self.d_head
+            )
         out = nn.Dense(self.d_model, use_bias=False, name="o_net")(attn)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
 
@@ -125,6 +181,8 @@ class TransformerLayer(nn.Module):
     dropatt: float = 0.1
     pre_lnorm: bool = False
     condition_types: Sequence[str] = ()
+    use_rope: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask, conditioning=None, deterministic=True):
@@ -137,6 +195,8 @@ class TransformerLayer(nn.Module):
             self.dropatt,
             self.pre_lnorm,
             self.condition_types,
+            self.use_rope,
+            self.use_flash,
             name="dec_attn",
         )(x, key_mask=mask[..., 0] > 0, conditioning=conditioning, deterministic=deterministic)
         out = out * mask
@@ -167,6 +227,8 @@ class FFTransformerDecoder(nn.Module):
     dropemb: float = 0.0
     pre_lnorm: bool = False
     condition_types: Sequence[str] = ()
+    use_rope: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -191,6 +253,8 @@ class FFTransformerDecoder(nn.Module):
                 self.dropatt,
                 self.pre_lnorm,
                 self.condition_types,
+                self.use_rope,
+                self.use_flash,
                 name=f"layers_{i}",
             )(x, mask, conditioning, deterministic=deterministic)
         return x, mask
@@ -217,6 +281,8 @@ class FFTransformerEncoder(nn.Module):
     dropemb: float = 0.0
     pre_lnorm: bool = False
     condition_types: Sequence[str] = ()
+    use_rope: bool = False
+    use_flash: bool = False
 
     def setup(self):
         self.word_emb = nn.Embed(self.n_embed, self.d_embed or self.d_model)
@@ -232,6 +298,8 @@ class FFTransformerEncoder(nn.Module):
             self.dropemb,
             self.pre_lnorm,
             self.condition_types,
+            self.use_rope,
+            self.use_flash,
         )
 
     def embed(self, tokens):

@@ -1,0 +1,262 @@
+"""Config-driven training runner (the L5 glue).
+
+Replaces the reference's `hydra_runner + pl.Trainer + exp_manager` entry
+pattern (examples/tts/fastpitch.py:10-29 etc.): builds dataset, sampler,
+model task, optimizer(s), mesh, and runs the epoch loop with validation,
+checkpointing, preemption, and profiler windows.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from roar_tpu.config import instantiate
+from roar_tpu.data import BucketSpec, LengthBucketBatchSampler, TTSDataset, VocoderDataset
+from roar_tpu.parallel import make_mesh, replicate, shard_batch
+from roar_tpu.training.exp_manager import ExpManager
+from roar_tpu.training.optim import build_optimizer
+from roar_tpu.training.trainer import Trainer
+
+
+def build_tts_dataset(ds_cfg: Dict[str, Any], tokenizer) -> TTSDataset:
+    """Instantiate a TTSDataset from a reference train_ds.dataset block."""
+    kwargs = {k: v for k, v in ds_cfg.items() if k != "_target_"}
+    kwargs.setdefault("text_tokenizer", tokenizer)
+    kwargs["text_tokenizer"] = tokenizer
+    return TTSDataset(**kwargs)
+
+
+def build_vocoder_dataset(ds_cfg: Dict[str, Any]) -> VocoderDataset:
+    kwargs = {k: v for k, v in ds_cfg.items() if k != "_target_"}
+    return VocoderDataset(**kwargs)
+
+
+def batch_iterator(dataset, sampler, buckets: Optional[BucketSpec] = None):
+    for idxs in sampler:
+        items = [dataset[i] for i in idxs]
+        if buckets is not None:
+            yield dataset.collate(items, buckets)
+        else:
+            yield dataset.collate(items)
+
+
+class ProfilerWindow:
+    """jax.profiler trace windowed by step numbers, the TPU analogue of the
+    reference's nsys start/end-step hooks (modelPT.py:1720-1859)."""
+
+    def __init__(self, cfg: Optional[Dict[str, Any]], log_dir: str):
+        cfg = cfg or {}
+        self.enabled = bool(cfg.get("enabled", False))
+        self.start_step = cfg.get("start_step", 10)
+        self.end_step = cfg.get("end_step", 20)
+        self.log_dir = str(log_dir)
+        self._active = False
+
+    def on_step(self, step: int):
+        if not self.enabled:
+            return
+        if step == self.start_step and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        if step >= self.end_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+def _mesh_from_cfg(trainer_cfg: Dict[str, Any], batch_size: Optional[int] = None):
+    import math
+    import warnings
+
+    n = len(jax.devices())
+    devices_cfg = trainer_cfg.get("devices", -1)
+    if isinstance(devices_cfg, int) and devices_cfg > 0:
+        n = min(n, devices_cfg)
+    model_axis = int(trainer_cfg.get("model_parallel_size", 1))
+    data_axis = n // model_axis
+    if batch_size is not None and batch_size % data_axis != 0:
+        capped = math.gcd(batch_size, data_axis)
+        warnings.warn(
+            f"batch_size {batch_size} not divisible by {data_axis} data-parallel "
+            f"devices; using a {capped}-way data axis"
+        )
+        data_axis = capped
+    return make_mesh(data=data_axis, model=model_axis)
+
+
+def train_supervised(
+    cfg: Dict[str, Any],
+    model,
+    dataset,
+    val_dataset=None,
+    max_epochs: Optional[int] = None,
+    buckets: Optional[BucketSpec] = None,
+) -> Any:
+    """Train a loss_fn-style task (FastPitch, Aligner)."""
+    trainer_cfg = cfg.get("trainer", {})
+    exp_cfg = cfg.get("exp_manager", {}) or {}
+    model_cfg = cfg.get("model", {})
+    dl_cfg = (model_cfg.get("train_ds") or {}).get("dataloader_params", {})
+    batch_size = dl_cfg.get("batch_size", 16)
+    max_epochs = max_epochs or trainer_cfg.get("max_epochs", 1)
+
+    mesh = _mesh_from_cfg(trainer_cfg, batch_size)
+    sampler = LengthBucketBatchSampler(
+        dataset.lengths, batch_size=batch_size,
+        shuffle=dl_cfg.get("shuffle", True),
+        drop_last=True,
+        seed=trainer_cfg.get("seed", 0),
+        num_shards=1, shard_rank=0,
+    )
+    steps_per_epoch = max(len(sampler), 1)
+    optimizer = build_optimizer(
+        model_cfg.get("optim", {}),
+        steps_per_epoch=steps_per_epoch,
+        max_epochs=max_epochs,
+        gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
+    )
+
+    def loss_fn(params, batch, rng, epoch):
+        return model.loss_fn(params, batch, rng, epoch)
+
+    trainer = Trainer(
+        loss_fn=loss_fn,
+        optimizer=optimizer,
+        mesh=mesh,
+        ema_decay=exp_cfg.get("ema", {}).get("decay") if exp_cfg.get("ema") else None,
+        log_every=trainer_cfg.get("log_every_n_steps", 100),
+    )
+    exp = ExpManager(
+        exp_dir=exp_cfg.get("exp_dir") or "./exp",
+        name=exp_cfg.get("name", cfg.get("name", "run")),
+        version=exp_cfg.get("version"),
+        resume_if_exists=exp_cfg.get("resume_if_exists", False),
+        use_tensorboard=exp_cfg.get("create_tensorboard_logger", True),
+        max_time_seconds=trainer_cfg.get("max_time_seconds"),
+    )
+    profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
+
+    example = dataset.collate([dataset[i] for i in list(iter(sampler))[0]], buckets) if buckets else dataset.collate([dataset[i] for i in list(iter(sampler))[0]])
+    params = model.init_params(jax.random.PRNGKey(trainer_cfg.get("seed", 0)), example)
+    state = trainer.init_state(params)
+    state, start_step = exp.maybe_resume(state)
+    if start_step:
+        state = replicate(state, mesh)
+
+    check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
+    for epoch in range(max_epochs):
+        sampler.set_epoch(epoch)
+        batches = batch_iterator(dataset, sampler, buckets)
+        state, metrics = trainer.run_epoch(state, batches, epoch=epoch, logger=exp.logger)
+        profiler.on_step(int(jax.device_get(state.step)))
+        if exp.should_stop():
+            exp.save(state, metrics)
+            break
+        if val_dataset is not None and (epoch + 1) % check_val_every == 0:
+            val_sampler = LengthBucketBatchSampler(
+                val_dataset.lengths, batch_size=batch_size, shuffle=False, drop_last=True
+            )
+
+            def eval_fn(params, batch):
+                _, m = model.loss_fn(params, batch, None, epoch, deterministic=True)
+                return m
+
+            val_metrics = trainer.evaluate(
+                eval_fn, state, batch_iterator(val_dataset, val_sampler, buckets)
+            )
+            exp.logger.log_metrics(
+                {f"val_{k}": v for k, v in val_metrics.items()},
+                step=int(jax.device_get(state.step)),
+            )
+        exp.save(state, metrics)
+    exp.close()
+    return state
+
+
+def train_gan(
+    cfg: Dict[str, Any],
+    model,
+    dataset,
+    val_dataset=None,
+    max_epochs: Optional[int] = None,
+    buckets: Optional[BucketSpec] = None,
+) -> Any:
+    """Train a GAN task (HifiGanModel, JETSModel)."""
+    trainer_cfg = cfg.get("trainer", {})
+    exp_cfg = cfg.get("exp_manager", {}) or {}
+    model_cfg = cfg.get("model", {})
+    dl_cfg = (model_cfg.get("train_ds") or {}).get("dataloader_params", {})
+    batch_size = dl_cfg.get("batch_size", 16)
+    max_epochs = max_epochs or trainer_cfg.get("max_epochs", 1)
+
+    mesh = _mesh_from_cfg(trainer_cfg, batch_size)
+    sampler = LengthBucketBatchSampler(
+        dataset.lengths, batch_size=batch_size,
+        shuffle=dl_cfg.get("shuffle", True), drop_last=True,
+        seed=trainer_cfg.get("seed", 0),
+    )
+    steps_per_epoch = max(len(sampler), 1)
+    optim_cfg = dict(model_cfg.get("optim", {}))
+    optim_cfg.pop("_target_", None)
+    max_steps = model_cfg.get("max_steps") or trainer_cfg.get("max_steps")
+    sched = optim_cfg.get("sched")
+    if sched and sched.get("warmup_ratio") is not None and max_steps:
+        sched = dict(sched)
+        sched["warmup_steps"] = int(sched.pop("warmup_ratio") * max_steps)
+        optim_cfg["sched"] = sched
+    g_opt = build_optimizer(
+        optim_cfg, steps_per_epoch=steps_per_epoch, max_epochs=max_epochs,
+        max_steps=max_steps, gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
+    )
+    d_opt = build_optimizer(
+        optim_cfg, steps_per_epoch=steps_per_epoch, max_epochs=max_epochs,
+        max_steps=max_steps, gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
+    )
+
+    exp = ExpManager(
+        exp_dir=exp_cfg.get("exp_dir") or "./exp",
+        name=exp_cfg.get("name", cfg.get("name", "run")),
+        version=exp_cfg.get("version"),
+        resume_if_exists=exp_cfg.get("resume_if_exists", False),
+        use_tensorboard=exp_cfg.get("create_tensorboard_logger", True),
+        max_time_seconds=trainer_cfg.get("max_time_seconds"),
+    )
+
+    first = list(iter(sampler))[0]
+    example = (
+        dataset.collate([dataset[i] for i in first], buckets)
+        if buckets
+        else dataset.collate([dataset[i] for i in first])
+    )
+    rng = jax.random.PRNGKey(trainer_cfg.get("seed", 0))
+    state = model.init_state(rng, example, g_opt, d_opt)
+    step_fn = model.make_train_step(g_opt, d_opt)
+
+    state, start_step = exp.maybe_resume(state)
+    if start_step:
+        state = replicate(state, mesh)
+    else:
+        state = replicate(state, mesh)
+
+    log_every = trainer_cfg.get("log_every_n_steps", 100)
+    for epoch in range(max_epochs):
+        sampler.set_epoch(epoch)
+        t0 = time.perf_counter()
+        metrics = {}
+        for i, batch in enumerate(batch_iterator(dataset, sampler, buckets)):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, shard_batch(batch, mesh), sub, epoch)
+            if i % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["train_step_timing"] = (time.perf_counter() - t0) / (i + 1)
+                exp.logger.log_metrics(host, step=int(jax.device_get(state.step)))
+            if exp.should_stop():
+                break
+        exp.save(state, {k: float(v) for k, v in metrics.items()})
+        if exp.should_stop():
+            break
+    exp.close()
+    return state

@@ -1,0 +1,146 @@
+"""Config system + entry-point tests."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from roar_tpu.config import instantiate, load_config, resolve_interpolations
+from roar_tpu.config.config import apply_overrides
+
+REPO = Path(__file__).resolve().parents[1]
+CONFIGS = REPO / "configs"
+
+
+def test_interpolation_and_overrides():
+    cfg = {
+        "a": {"b": 5},
+        "c": "${a.b}",
+        "d": "x_${a.b}_y",
+        "nested": {"e": "${c}"},
+    }
+    out = resolve_interpolations(cfg)
+    assert out["c"] == 5
+    assert out["d"] == "x_5_y"
+    assert out["nested"]["e"] == 5
+
+    cfg2 = apply_overrides({"a": {"b": 1}}, ["a.b=7", "a.new=[1,2]"])
+    assert cfg2["a"]["b"] == 7
+    assert cfg2["a"]["new"] == [1, 2]
+
+
+def test_instantiate_with_alias():
+    # reference-style _target_ path resolves via alias table
+    tok = instantiate(
+        {
+            "_target_": "roar.collections.common.tokenizers.text_to_speech.tts_tokenizers.TamilCharsTokenizer",
+            "pad_with_space": True,
+        }
+    )
+    assert tok.encode("வணக்கம்")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "fastpitch_22050_align",
+        "fastpitch_44100_align",
+        "hifigan_22050",
+        "hifigan_44100",
+        "jets_22050_align",
+        "aligner",
+        "ds_for_fastpitch_align",
+    ],
+)
+def test_shipped_configs_load(name):
+    overrides = [
+        "train_dataset=/tmp/x.json",
+        "validation_datasets=/tmp/x.json",
+        "sup_data_path=/tmp/sup",
+        "pitch_mean=200.0",
+        "pitch_std=60.0",
+        "manifest_filepath=/tmp/x.json",
+    ]
+    cfg = load_config(CONFIGS / f"{name}.yaml", overrides=overrides)
+    assert isinstance(cfg, dict)
+    if name.startswith("hifigan"):
+        gen = cfg["model"]["generator"]
+        assert "upsample_rates" in gen  # _file_ include expanded
+        assert int(np.prod(gen["upsample_rates"])) == cfg["n_window_stride"]
+    if name.startswith("jets"):
+        gen = cfg["model"]["waveform_generator"]
+        assert int(np.prod(gen["upsample_rates"])) == cfg["n_window_stride"]
+
+
+def test_fastpitch_model_from_shipped_config():
+    cfg = load_config(
+        CONFIGS / "fastpitch_22050_align.yaml",
+        overrides=[
+            "train_dataset=/tmp/x.json",
+            "validation_datasets=/tmp/x.json",
+            "sup_data_path=/tmp/sup",
+            "pitch_mean=200.0",
+            "pitch_std=60.0",
+            "model.speaker_encoder.lookup_module.n_speakers=4",
+        ],
+    )
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+
+    model = FastPitchModel(cfg["model"])
+    assert model.module.n_speakers == 4
+    assert model.module.n_mel_channels == 80
+    assert model.module.encoder.d_model == 384
+    assert model.tokenizer is not None
+    assert model.mel_cfg.sample_rate == 22050
+    assert model.mel_cfg.hop_length == 512
+
+
+def test_extract_sup_data_script(tmp_path):
+    from roar_tpu.data import write_manifest, write_wav
+
+    sr = 22050
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    entries = []
+    for i in range(3):
+        t = np.arange(int(sr * 0.5)) / sr
+        x = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32)
+        p = wav_dir / f"u{i}.wav"
+        write_wav(str(p), x, sr)
+        entries.append({"audio_filepath": str(p), "text": "ab", "duration": 0.5})
+    man = tmp_path / "manifest.json"
+    write_manifest(man, entries)
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts/dataset_processing/tts/extract_sup_data.py"),
+            "--config-name=ds_for_fastpitch_align",
+            f"manifest_filepath={man}",
+            f"sup_data_path={tmp_path / 'sup'}",
+            "batch_size=4",
+            "n_fft=1024",
+            "win_length=1024",
+            "hop_length=256",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+        },
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert "PITCH_MEAN=" in result.stdout
+    pitch_files = list((tmp_path / "sup" / "pitch").glob("*.npy"))
+    assert len(pitch_files) == 3
+    # detected pitch near the synthesized tones
+    meds = sorted(
+        float(np.median(v[v > 0])) for v in (np.load(f) for f in pitch_files)
+    )
+    np.testing.assert_allclose(meds, [150, 180, 210], rtol=0.05)

@@ -1,0 +1,107 @@
+"""Runner glue + AlignerModel tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from roar_tpu.data import BucketSpec, TTSDataset, write_manifest, write_wav
+from roar_tpu.models.aligner_model import AlignerModel
+from roar_tpu.training.run import train_supervised
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("runner_corpus")
+    sr = 22050
+    entries = []
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        dur = 0.4 + 0.1 * i
+        t = np.arange(int(sr * dur)) / sr
+        x = (0.4 * np.sin(2 * np.pi * (130 + 25 * i) * t)
+             + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+        p = root / f"wavs/u{i}.wav"
+        p.parent.mkdir(exist_ok=True)
+        write_wav(str(p), x, sr)
+        entries.append({"audio_filepath": str(p), "text": f"test utt {i}", "duration": dur})
+    man = root / "manifest.json"
+    write_manifest(man, entries)
+    return root, man, sr
+
+
+def aligner_cfg(root, man):
+    return {
+        "name": "AlignerTest",
+        "model": {
+            "symbols_embedding_dim": 32,
+            "bin_loss_start_ratio": 0.5,
+            "bin_loss_warmup_epochs": 1,
+            "max_epochs": 2,
+            "text_tokenizer": {
+                "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+                "pad_with_space": True,
+            },
+            "preprocessor": {
+                "sample_rate": 22050,
+                "features": 24,
+                "n_window_size": 1024,
+                "n_window_stride": 256,
+                "n_fft": 1024,
+                "highfreq": 8000,
+                "preemph": None,
+                "normalize": None,
+                "mag_power": 1.0,
+                "log_zero_guard_type": "add",
+                "log_zero_guard_value": 1e-05,
+                "dither": 0.0,
+                "pad_to": 1,
+            },
+            "alignment_encoder": {"n_att_channels": 24},
+            "optim": {"name": "adam", "lr": 1e-3},
+            "train_ds": {
+                "dataset": {},
+                "dataloader_params": {"batch_size": 4, "shuffle": True},
+            },
+        },
+        "trainer": {"max_epochs": 2, "gradient_clip_val": 100.0, "log_every_n_steps": 1},
+        "exp_manager": {
+            "exp_dir": str(root / "exp"),
+            "name": "aligner",
+            "create_tensorboard_logger": False,
+        },
+    }
+
+
+def test_train_supervised_aligner_end_to_end(corpus):
+    root, man, sr = corpus
+    cfg = aligner_cfg(root, man)
+    model = AlignerModel(cfg["model"])
+    ds = TTSDataset(
+        manifest_filepath=str(man),
+        sample_rate=sr,
+        text_tokenizer=model.tokenizer,
+        sup_data_path=str(root / "sup"),
+        sup_data_types=["align_prior_matrix"],
+        n_fft=1024,
+        win_length=1024,
+        hop_length=256,
+        n_mels=24,
+        highfreq=8000,
+    )
+    state = train_supervised(
+        cfg, model, ds, None, buckets=BucketSpec(8, 16, 8192)
+    )
+    assert int(np.asarray(jax.device_get(state.step))) == 2  # 1 batch x 2 epochs
+    # metrics written
+    metrics_file = root / "exp" / "aligner" / "metrics.jsonl"
+    assert metrics_file.exists()
+    # checkpoint exists
+    assert any((root / "exp" / "aligner" / "checkpoints").iterdir())
+
+    # align() produces valid durations
+    batch = ds.collate([ds[i] for i in range(4)], BucketSpec(8, 16, 8192))
+    durs, attn = model.align(jax.device_get(state.params), batch)
+    durs = np.asarray(durs)
+    assert durs.shape == (4, batch["text"].shape[1])
+    assert (durs.sum(-1) > 0).all()
