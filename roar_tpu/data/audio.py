@@ -16,7 +16,17 @@ import numpy as np
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a WAV file to float32 in [-1, 1]; returns (samples [S] or [S, C], sr)."""
+    """Read a WAV file to float32 in [-1, 1]; returns (samples [S] or [S, C], sr).
+
+    Uses the native C++ decoder (native/audio_io.cc) when built — the host
+    hot path for feeding the chip — with a scipy fallback.
+    """
+    from roar_tpu import native
+
+    res = native.read_wav_mono(path)
+    if res is not None:
+        return res
+
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
