@@ -152,3 +152,54 @@ class HifiGanModel:
         """mel [B, T, n_mel] -> audio [B, T*upsample]
         (models/hifigan.py:174-179)."""
         return self.generator.apply(g_params, spec)
+
+    def compute_stft_bias(self, g_params) -> jnp.ndarray:
+        """Bias magnitude spectrum: |STFT| of the generator's output on a
+        zero mel (models/hifigan.py:353-375)."""
+        from roar_tpu.ops.spectrogram import stft_magnitude
+
+        zero_mel = jnp.zeros((1, 88, self.mel_cfg.nfilt), jnp.float32)
+        bias_audio = self.generator.apply(g_params, zero_mel)
+        mag = stft_magnitude(
+            bias_audio,
+            n_fft=self.mel_cfg.fft_length,
+            hop_length=self.mel_cfg.hop_length,
+            win_length=self.mel_cfg.win_length,
+            window=self.mel_cfg.window,
+            center=True,
+        )
+        return mag[:, :, 0:1]  # [1, F, 1]
+
+    def denoise(
+        self, g_params, audio: jnp.ndarray, strength: float = 0.0025,
+        stft_bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Subtract the generator's bias spectrum from synthesized audio
+        (models/hifigan.py:353-390): mag' = clip(mag - strength*bias, 0),
+        phase preserved."""
+        from roar_tpu.ops.griffin_lim import istft
+        from roar_tpu.ops.spectrogram import (
+            _reflect_pad_1d,
+            _windowed_dft_matrix,
+            frame_signal,
+        )
+
+        if stft_bias is None:
+            stft_bias = self.compute_stft_bias(g_params)
+        n_fft = self.mel_cfg.fft_length
+        hop = self.mel_cfg.hop_length
+        win = self.mel_cfg.win_length
+        basis = jnp.asarray(_windowed_dft_matrix(n_fft, win, self.mel_cfg.window))
+        xp = _reflect_pad_1d(audio, n_fft // 2)
+        frames = frame_signal(xp, n_fft, hop)
+        proj = jnp.einsum("btn,nf->btf", frames, basis)
+        nf = 1 + n_fft // 2
+        re = jnp.swapaxes(proj[..., :nf], 1, 2)
+        im = jnp.swapaxes(proj[..., nf:], 1, 2)
+        mag = jnp.sqrt(re * re + im * im + 1e-12)
+        new_mag = jnp.clip(mag - strength * stft_bias, min=0.0)
+        scale = new_mag / jnp.maximum(mag, 1e-8)
+        return istft(
+            re * scale, im * scale, n_fft, hop, win, self.mel_cfg.window,
+            length=audio.shape[-1],
+        )

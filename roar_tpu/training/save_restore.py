@@ -63,3 +63,48 @@ def restore_from(
     else:
         params = serialization.msgpack_restore(blob)
     return cfg, params
+
+
+def transfer_params(
+    target: Any,
+    source: Any,
+    include: Optional[list] = None,
+    exclude: Optional[list] = None,
+) -> Tuple[Any, list, list]:
+    """Warm start: copy matching leaves from `source` into `target`.
+
+    The analogue of maybe_init_from_pretrained_checkpoint /
+    load_part_of_state_dict (roar/core/classes/modelPT.py:1206-1450): leaves
+    are matched by their '/'-joined path; `include`/`exclude` are substring
+    filters on the path; shape mismatches are skipped.
+
+    Returns (new_target, loaded_paths, skipped_paths).
+    """
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    def path_str(kp) -> str:
+        parts = []
+        for k in kp:
+            parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        return "/".join(parts)
+
+    src_leaves, _ = tree_flatten_with_path(source)
+    src_map = {path_str(kp): v for kp, v in src_leaves}
+
+    tgt_leaves, treedef = tree_flatten_with_path(target)
+    new_leaves, loaded, skipped = [], [], []
+    for kp, v in tgt_leaves:
+        p = path_str(kp)
+        candidate = src_map.get(p)
+        ok = candidate is not None and getattr(candidate, "shape", None) == getattr(v, "shape", None)
+        if ok and include:
+            ok = any(s in p for s in include)
+        if ok and exclude:
+            ok = not any(s in p for s in exclude)
+        if ok:
+            new_leaves.append(candidate)
+            loaded.append(p)
+        else:
+            new_leaves.append(v)
+            skipped.append(p)
+    return tree_unflatten(treedef, new_leaves), loaded, skipped

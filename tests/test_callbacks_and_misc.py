@@ -1,0 +1,101 @@
+"""Artifact callbacks, HiFi-GAN denoising, warm-start transfer tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roar_tpu.training.callbacks import (
+    FastPitchArtifactGenerator,
+    plot_alignment_to_file,
+    plot_spectrogram_to_file,
+)
+from roar_tpu.training.save_restore import transfer_params
+
+
+def test_plots_written(tmp_path):
+    spec = np.random.default_rng(0).standard_normal((40, 100)).astype(np.float32)
+    p = plot_spectrogram_to_file(spec, str(tmp_path / "s.png"))
+    assert p and (tmp_path / "s.png").exists()
+    attn = np.random.default_rng(1).random((100, 20)).astype(np.float32)
+    p = plot_alignment_to_file(attn, str(tmp_path / "a.png"))
+    assert p and (tmp_path / "a.png").exists()
+
+
+def test_fastpitch_artifact_generator(tmp_path):
+    from roar_tpu.ops.spectrogram import MelConfig
+
+    gen = FastPitchArtifactGenerator(
+        str(tmp_path), log_every_epochs=1, audio_preview=True,
+        mel_cfg=MelConfig(sample_rate=22050, n_window_size=512,
+                          n_window_stride=128, n_fft=512, nfilt=24,
+                          highfreq=8000, preemph=None, normalize=None,
+                          mag_power=1.0, dither=0.0, pad_to=1),
+    )
+    rng = np.random.default_rng(0)
+    outputs = {
+        "spect": rng.standard_normal((2, 60, 24)).astype(np.float32),
+        "attn_soft": rng.random((2, 1, 60, 12)).astype(np.float32),
+        "pitch_predicted": rng.standard_normal((2, 12)).astype(np.float32),
+    }
+    written = gen(0, outputs, {})
+    names = {p.split("_", 1)[1] for p in map(lambda s: s.split("/")[-1], written)}
+    assert "spec_pred.png" in names
+    assert "alignment.png" in names
+    assert "pitch.png" in names
+    assert "preview.wav" in names
+    # off-epoch writes nothing
+    gen2 = FastPitchArtifactGenerator(str(tmp_path), log_every_epochs=5)
+    assert gen2(3, outputs, {}) == []
+
+
+def test_hifigan_denoise():
+    from roar_tpu.models.hifigan_model import HifiGanModel
+
+    cfg = {
+        "preprocessor": {
+            "sample_rate": 22050, "nfilt": 24, "n_window_size": 512,
+            "n_window_stride": 128, "n_fft": 512, "highfreq": 8000,
+            "preemph": None, "normalize": None, "mag_power": 1.0,
+            "log_zero_guard_type": "clamp", "log_zero_guard_value": 1e-05,
+            "dither": 0.0, "pad_to": 0, "exact_pad": True,
+        },
+        "generator": {
+            "resblock": 2, "upsample_rates": [8, 4, 4],
+            "upsample_kernel_sizes": [16, 8, 8],
+            "upsample_initial_channel": 32,
+            "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+        },
+    }
+    model = HifiGanModel(cfg)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 4096)).astype(np.float32) * 0.1
+    )
+    batch = {"audio": audio, "audio_len": jnp.asarray([4096])}
+    g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)
+    bias = model.compute_stft_bias(g_params)
+    assert bias.shape[1] == 257
+    out = model.denoise(g_params, audio, strength=0.01, stft_bias=bias)
+    assert out.shape == audio.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # strength 0 ~ identity (modulo STFT roundtrip) away from edges
+    ident = np.asarray(model.denoise(g_params, audio, strength=0.0, stft_bias=bias))
+    np.testing.assert_allclose(
+        ident[0, 512:3584], np.asarray(audio)[0, 512:3584], atol=1e-3
+    )
+
+
+def test_transfer_params():
+    src = {"params": {"a": np.ones((2, 2)), "b": np.ones(3), "c": np.ones(4)}}
+    tgt = {"params": {"a": np.zeros((2, 2)), "b": np.zeros(5), "d": np.zeros(4)}}
+    out, loaded, skipped = transfer_params(tgt, src)
+    assert np.all(out["params"]["a"] == 1)  # shape match -> copied
+    assert np.all(out["params"]["b"] == 0)  # shape mismatch -> kept
+    assert np.all(out["params"]["d"] == 0)  # missing in source -> kept
+    assert "params/a" in loaded
+
+    out2, loaded2, _ = transfer_params(tgt, src, exclude=["a"])
+    assert np.all(out2["params"]["a"] == 0)
+    out3, loaded3, _ = transfer_params(tgt, src, include=["a"])
+    assert "params/a" in loaded3 and len(loaded3) == 1
