@@ -1,0 +1,69 @@
+"""Multi-host initialization and host-level collectives.
+
+Replaces roar/utils/distributed.py:16-41 (`initialize_distributed` NCCL TCP
+init) and `gather_objects` with the JAX equivalents (SURVEY.md §5.8):
+`jax.distributed.initialize` + multihost utils.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional
+
+from roar_tpu.utils.logging import get_logger
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple:
+    """Initialize multi-host JAX.  On TPU pods the arguments are discovered
+    from the environment automatically; explicit args support other setups.
+
+    Returns (process_index, process_count, device_count).
+    """
+    import jax
+
+    already = False
+    try:
+        already = jax.process_count() > 1 or coordinator_address is None and num_processes is None
+    except Exception:
+        pass
+    if coordinator_address or num_processes or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ.get("COORDINATOR_ADDRESS"),
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif not already:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process runs are fine
+            get_logger().debug(f"jax.distributed.initialize skipped: {e}")
+    info = (jax.process_index(), jax.process_count(), jax.device_count())
+    get_logger().info(
+        f"distributed: process {info[0]}/{info[1]}, {info[2]} devices total"
+    )
+    return info
+
+
+def gather_objects(partial: List[Any], main_rank: Optional[int] = 0) -> Optional[List[Any]]:
+    """All-gather a list of picklable objects across hosts
+    (utils/distributed.py:44+ analogue).  Returns the concatenated list on
+    every host (or only on `main_rank` if set; others get None)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return list(partial)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.broadcast_one_to_all  # noqa: F841 (doc pointer)
+    all_lists = multihost_utils.process_allgather(partial, tiled=False)
+    out: List[Any] = []
+    for host_list in all_lists:
+        out.extend(list(host_list))
+    if main_rank is not None and jax.process_index() != main_rank:
+        return None
+    return out

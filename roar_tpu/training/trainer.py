@@ -51,19 +51,48 @@ def create_train_state(
     )
 
 
+def cast_floating(tree: Any, dtype) -> Any:
+    """Cast floating-point leaves of a pytree to `dtype`."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def make_train_step(
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
     ema_decay: Optional[float] = None,
     donate: bool = True,
+    precision: Optional[str] = None,
 ):
     """Build a jitted train step from `loss_fn(params, batch, rng, epoch) ->
-    (loss, metrics)`."""
+    (loss, metrics)`.
+
+    precision='bf16' runs the forward/backward with bfloat16 parameter and
+    batch casts while keeping fp32 master weights and optimizer state — the
+    TPU analogue of the reference's `precision: 16`/`bf16-mixed` trainer
+    settings (fastpitch yaml:232, jets yaml:248); bf16 needs no loss scaling.
+    """
+    use_bf16 = precision in ("bf16", "bfloat16", "bf16-mixed")
+
+    def cast_in(params, batch):
+        if not use_bf16:
+            return params, batch
+        return cast_floating(params, jnp.bfloat16), cast_floating(batch, jnp.bfloat16)
 
     def step_fn(state: TrainState, batch, rng, epoch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, epoch
+        def compute_loss(params):
+            p, b = cast_in(params, batch)
+            return loss_fn(p, b, rng, epoch)
+
+        (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
         )
+        if use_bf16:
+            grads = cast_floating(grads, jnp.float32)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -102,9 +131,19 @@ class Trainer:
     seed: int = 0
     log_every: int = 50
     callbacks: Tuple = ()
+    precision: Optional[str] = None
+    accumulate_grad_batches: int = 1
 
     def __post_init__(self):
-        self._train_step = make_train_step(self.loss_fn, self.optimizer, self.ema_decay)
+        opt = self.optimizer
+        if self.accumulate_grad_batches > 1:
+            # micro-batch gradient accumulation (JETS-style manual optim,
+            # models/jets.py:616-694) as an optimizer wrapper
+            opt = optax.MultiSteps(opt, every_k_schedule=self.accumulate_grad_batches)
+            self.optimizer = opt
+        self._train_step = make_train_step(
+            self.loss_fn, self.optimizer, self.ema_decay, precision=self.precision
+        )
         self._rng = jax.random.PRNGKey(self.seed)
 
     def init_state(self, params, extra=None) -> TrainState:

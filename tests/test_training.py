@@ -214,3 +214,42 @@ def test_batch_sharding_over_mesh(fp_setup):
 
     with pytest.raises(ValueError, match="not divisible"):
         shard_batch({"x": np.zeros((3, 2))}, make_mesh(data=8, model=1))
+
+
+def test_bf16_mixed_precision_step(fp_setup):
+    model, ds, batch = fp_setup
+    params = model.init_params(jax.random.PRNGKey(2), batch)
+    opt = build_optimizer({"name": "adamw", "lr": 1e-3})
+    trainer = Trainer(loss_fn=lambda p, b, r, e: model.loss_fn(p, b, r, e),
+                      optimizer=opt, precision="bf16")
+    state = trainer.init_state(params)
+    state, metrics = trainer.run_epoch(state, [batch], epoch=0)
+    assert np.isfinite(metrics["loss"])
+    # master weights stay fp32
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_grad_accumulation(fp_setup):
+    model, ds, batch = fp_setup
+    params = model.init_params(jax.random.PRNGKey(3), batch)
+    opt = build_optimizer({"name": "adamw", "lr": 1e-3})
+    trainer = Trainer(loss_fn=lambda p, b, r, e: model.loss_fn(p, b, r, e),
+                      optimizer=opt, accumulate_grad_batches=2)
+    state = trainer.init_state(params)
+    p0 = jax.device_get(state.params)
+    state, _ = trainer.run_epoch(state, [batch], epoch=0)
+    # after one micro-batch, params unchanged (accumulating)
+    p1 = jax.device_get(state.params)
+    same = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))
+    )
+    assert same
+    state, _ = trainer.run_epoch(state, [batch], epoch=0)
+    p2 = jax.device_get(state.params)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p2))
+    )
+    assert changed
