@@ -93,6 +93,7 @@ class FFTConfig:
     use_rope: bool = False
     use_flash: bool = False
     encoder_type: str = "transformer"  # or "conformer"
+    adapter_dim: int = 0  # >0 inserts bottleneck adapters per layer
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,7 +138,9 @@ def make_encoder(cfg: FFTConfig, n_embed: int, d_embed: int, padding_idx: int):
         from roar_tpu.models.conformer import FFConformerEncoder
 
         return FFConformerEncoder(**common)
-    return FFTransformerEncoder(pre_lnorm=cfg.pre_lnorm, **common)
+    return FFTransformerEncoder(
+        pre_lnorm=cfg.pre_lnorm, adapter_dim=cfg.adapter_dim, **common
+    )
 
 
 def make_decoder(cfg: FFTConfig):
@@ -159,7 +162,9 @@ def make_decoder(cfg: FFTConfig):
         from roar_tpu.models.conformer import FFConformerDecoder
 
         return FFConformerDecoder(**common)
-    return FFTransformerDecoder(pre_lnorm=cfg.pre_lnorm, **common)
+    return FFTransformerDecoder(
+        pre_lnorm=cfg.pre_lnorm, adapter_dim=cfg.adapter_dim, **common
+    )
 
 
 class FastPitchModule(nn.Module):

@@ -171,6 +171,22 @@ class PositionwiseConvFF(nn.Module):
         return ln(x + core(x), conditioning)
 
 
+class AdapterBlock(nn.Module):
+    """Residual bottleneck adapter (the reference's adapter modules,
+    roar/core/classes/mixins/adapter_mixins.py): LN -> down -> relu -> up,
+    up zero-initialized so the adapter is identity at insertion."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        d_model = x.shape[-1]
+        z = nn.LayerNorm()(x)
+        z = nn.relu(nn.Dense(self.dim, name="down")(z))
+        z = nn.Dense(d_model, kernel_init=nn.initializers.zeros, name="up")(z)
+        return x + z
+
+
 class TransformerLayer(nn.Module):
     n_head: int
     d_model: int
@@ -183,6 +199,7 @@ class TransformerLayer(nn.Module):
     condition_types: Sequence[str] = ()
     use_rope: bool = False
     use_flash: bool = False
+    adapter_dim: int = 0
 
     @nn.compact
     def __call__(self, x, mask, conditioning=None, deterministic=True):
@@ -209,6 +226,8 @@ class TransformerLayer(nn.Module):
             self.condition_types,
             name="pos_ff",
         )(out, conditioning, deterministic=deterministic)
+        if self.adapter_dim > 0:
+            out = AdapterBlock(self.adapter_dim, name="adapter")(out)
         return out * mask
 
 
@@ -229,6 +248,7 @@ class FFTransformerDecoder(nn.Module):
     condition_types: Sequence[str] = ()
     use_rope: bool = False
     use_flash: bool = False
+    adapter_dim: int = 0
 
     @nn.compact
     def __call__(
@@ -255,6 +275,7 @@ class FFTransformerDecoder(nn.Module):
                 self.condition_types,
                 self.use_rope,
                 self.use_flash,
+                self.adapter_dim,
                 name=f"layers_{i}",
             )(x, mask, conditioning, deterministic=deterministic)
         return x, mask
@@ -283,6 +304,7 @@ class FFTransformerEncoder(nn.Module):
     condition_types: Sequence[str] = ()
     use_rope: bool = False
     use_flash: bool = False
+    adapter_dim: int = 0
 
     def setup(self):
         self.word_emb = nn.Embed(self.n_embed, self.d_embed or self.d_model)
@@ -300,6 +322,7 @@ class FFTransformerEncoder(nn.Module):
             self.condition_types,
             self.use_rope,
             self.use_flash,
+            self.adapter_dim,
         )
 
     def embed(self, tokens):

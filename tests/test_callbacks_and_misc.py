@@ -99,3 +99,55 @@ def test_transfer_params():
     assert np.all(out2["params"]["a"] == 0)
     out3, loaded3, _ = transfer_params(tgt, src, include=["a"])
     assert "params/a" in loaded3 and len(loaded3) == 1
+
+
+def test_adapters_and_freezing():
+    """Adapters start as identity; masked optimizer trains only adapters."""
+    import optax
+
+    from roar_tpu.models.transformer import FFTransformerEncoder
+    from roar_tpu.training.finetune import count_trainable, masked_optimizer
+
+    enc_plain = FFTransformerEncoder(
+        n_layer=1, n_head=1, d_model=16, d_head=8, d_inner=32, kernel_size=3,
+        dropout=0.0, dropatt=0.0, n_embed=20,
+    )
+    enc_adapt = FFTransformerEncoder(
+        n_layer=1, n_head=1, d_model=16, d_head=8, d_inner=32, kernel_size=3,
+        dropout=0.0, dropatt=0.0, n_embed=20, adapter_dim=4,
+    )
+    tokens = jnp.asarray(np.random.default_rng(0).integers(1, 20, (2, 6)), jnp.int32)
+    p_plain = enc_plain.init(jax.random.PRNGKey(0), tokens)
+    p_adapt = enc_adapt.init(jax.random.PRNGKey(0), tokens)
+    # identity at init: outputs match the plain encoder with shared init
+    o1, _ = enc_plain.apply(p_plain, tokens)
+    o2, _ = enc_adapt.apply(p_adapt, tokens)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    n_train, n_total = count_trainable(p_adapt, [r"adapter"])
+    assert 0 < n_train < n_total
+
+    opt = masked_optimizer(optax.adam(1e-2), p_adapt, [r"adapter"])
+    state = opt.init(p_adapt)
+
+    def loss(p):
+        out, _ = enc_adapt.apply(p, tokens)
+        return jnp.mean(jnp.square(out))
+
+    g = jax.grad(loss)(p_adapt)
+    updates, _ = opt.update(g, state, p_adapt)
+    new_p = optax.apply_updates(p_adapt, updates)
+    # only adapter params moved
+    from jax.tree_util import tree_flatten_with_path
+
+    for kp, (a, b) in zip(
+        tree_flatten_with_path(p_adapt)[0],
+        zip(jax.tree_util.tree_leaves(p_adapt), jax.tree_util.tree_leaves(new_p)),
+    ):
+        path = "/".join(str(getattr(k, "key", k)) for k in kp[0])
+        moved = not np.allclose(np.asarray(a), np.asarray(b))
+        if "adapter" in path and "up" not in path:
+            # down proj + LN receive gradients through the zero-init up proj?
+            pass  # gradient may be zero at init for some; don't assert
+        if "adapter" not in path:
+            assert not moved, path
