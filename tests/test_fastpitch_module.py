@@ -206,3 +206,47 @@ def test_dropout_stochasticity(model_and_params):
     assert not np.allclose(np.asarray(o1["spect"]), np.asarray(o2["spect"]))
     o3 = model.apply(params, text, rngs={"dropout": jax.random.PRNGKey(1)}, **kwargs)
     np.testing.assert_allclose(np.asarray(o1["spect"]), np.asarray(o3["spect"]))
+
+
+def test_conformer_encoder_variant():
+    d = 32
+    fft = FFTConfig(
+        n_layer=1, n_head=2, d_model=d, d_head=16, d_inner=64, kernel_size=31,
+        encoder_type="conformer", use_rope=True,
+    )
+    model = FastPitchModule(
+        n_symbols=40, encoder=fft, decoder=fft,
+        duration_predictor=PredictorConfig(input_size=d, filter_size=16),
+        pitch_predictor=PredictorConfig(input_size=d, filter_size=16),
+        aligner=AlignerConfig(n_text_channels=d, n_att_channels=16),
+        symbols_embedding_dim=d, n_mel_channels=20,
+    )
+    rng = np.random.default_rng(5)
+    text, text_lens, spec, mel_lens, pitch, prior = make_batch(rng)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, text, pitch=pitch, spec=spec,
+        attn_prior=prior, mel_lens=mel_lens, input_lens=text_lens,
+    )
+    out = model.apply(
+        params, text, pitch=pitch, spec=spec, attn_prior=prior,
+        mel_lens=mel_lens, input_lens=text_lens,
+    )
+    assert out["spect"].shape == (2, 40, 20)
+    assert np.isfinite(np.asarray(out["spect"])).all()
+
+
+def test_rope_cache_properties():
+    from roar_tpu.ops.rope import apply_rope, build_rope_cache
+
+    cos, sin = build_rope_cache(16, 8)
+    assert cos.shape == (16, 4)
+    # rotation preserves norms
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((1, 16, 2, 8)), jnp.float32)
+    y = apply_rope(x, jnp.asarray(cos), jnp.asarray(sin))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(y), axis=-1),
+        atol=1e-4,
+    )
+    # position 0 is identity
+    np.testing.assert_allclose(np.asarray(y)[:, 0], np.asarray(x)[:, 0], atol=1e-6)
