@@ -315,6 +315,32 @@ class VocoderDataset:
             entry["audio_filepath"], target_sr=self.sample_rate, trim=self.trim
         )
         audio = seg.samples
+
+        if self.load_precomputed_mel:
+            # GTA-mel finetuning (dataset.py:1143-1301 + hifigan input_as_mel):
+            # slice hop-aligned (mel, audio) segment pairs.
+            if self.hop_length is None:
+                raise ValueError("load_precomputed_mel requires hop_length")
+            mel = np.load(entry["mel_filepath"])  # [n_mel, T]
+            if self.n_segments:
+                frames = self.n_segments // self.hop_length
+                if mel.shape[1] > frames:
+                    start = int(self._rng.integers(0, mel.shape[1] - frames + 1))
+                else:
+                    start = 0
+                    mel = np.pad(mel, ((0, 0), (0, frames - mel.shape[1])))
+                mel = mel[:, start : start + frames]
+                a0 = start * self.hop_length
+                audio_seg = audio[a0 : a0 + self.n_segments]
+                if len(audio_seg) < self.n_segments:
+                    audio_seg = np.pad(audio_seg, (0, self.n_segments - len(audio_seg)))
+                audio = audio_seg
+            return {
+                "audio": audio.astype(np.float32),
+                "audio_len": np.int32(len(audio)),
+                "mel": mel.astype(np.float32),
+            }
+
         if self.n_segments is not None and self.n_segments > 0:
             if len(audio) >= self.n_segments:
                 start = int(self._rng.integers(0, len(audio) - self.n_segments + 1))
@@ -334,4 +360,12 @@ class VocoderDataset:
         for j, it in enumerate(items):
             audio[j, : len(it["audio"])] = it["audio"]
             lens[j] = it["audio_len"]
-        return {"audio": audio, "audio_len": lens}
+        out = {"audio": audio, "audio_len": lens}
+        if "mel" in items[0]:
+            t = max(i["mel"].shape[1] for i in items)
+            m = items[0]["mel"].shape[0]
+            mel = np.zeros((b, t, m), np.float32)
+            for j, it in enumerate(items):
+                mel[j, : it["mel"].shape[1]] = it["mel"].T
+            out["mel"] = mel
+        return out

@@ -66,9 +66,8 @@ class HifiGanModel:
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, batch: Dict[str, np.ndarray]):
         audio = jnp.asarray(batch["audio"])
-        lens = jnp.asarray(batch["audio_len"])
-        mel, _ = log_mel_spectrogram(audio, lens, self.mel_cfg)
-        mel = jnp.swapaxes(mel, 1, 2)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        mel = self._input_mel(batch)
         r1, r2, r3 = jax.random.split(rng, 3)
         g_params = self.generator.init(r1, mel)
         fake = self.generator.apply(g_params, mel)
@@ -84,6 +83,14 @@ class HifiGanModel:
     def _mel(self, audio, lens):
         mel, mel_lens = log_mel_spectrogram(audio, lens, self.mel_cfg)
         return jnp.swapaxes(mel, 1, 2), mel_lens
+
+    def _input_mel(self, batch):
+        """Generator input mel: precomputed (GTA finetune, `input_as_mel`
+        models/hifigan.py:73-75) when present, else computed from audio."""
+        if "mel" in batch and batch["mel"] is not None:
+            return batch["mel"]
+        mel, _ = self._mel(batch["audio"], batch["audio_len"])
+        return mel
 
     def _disc_all(self, d_params, d_stats, y, y_hat, update_stats: bool):
         mpd_out = self.mpd.apply({"params": d_params["params"]["mpd"]}, y, y_hat)
@@ -101,7 +108,7 @@ class HifiGanModel:
     # ------------------------------------------------------------------
     def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
         audio = batch["audio"]
-        mel, _ = self._mel(audio, batch["audio_len"])
+        mel = self._input_mel(batch)
         fake = jax.lax.stop_gradient(self.generator.apply(g_params, mel))
         mpd_out, msd_out, new_stats = self._disc_all(
             d_params, d_stats, audio, fake, update_stats=True
@@ -116,11 +123,14 @@ class HifiGanModel:
     def g_loss_fn(self, g_params, d_params, d_stats, batch, rng, epoch):
         audio = batch["audio"]
         lens = batch["audio_len"]
-        mel, _ = self._mel(audio, lens)
-        fake = self.generator.apply(g_params, mel)
+        mel_in = self._input_mel(batch)
+        fake = self.generator.apply(g_params, mel_in)
+        # L1 mel is always computed against the GROUND-TRUTH audio's mel
+        # (models/hifigan.py:211-232), even when the input is a GTA mel.
+        mel_gt, _ = self._mel(audio, lens)
         mel_fake, _ = self._mel(fake, lens)
 
-        l_mel = l1_mel_loss(mel_fake, mel) * self.l1_factor
+        l_mel = l1_mel_loss(mel_fake, mel_gt) * self.l1_factor
         mpd_out, msd_out, _ = self._disc_all(
             d_params, d_stats, audio, fake, update_stats=False
         )

@@ -242,6 +242,7 @@ def train_gan(
         state = replicate(state, mesh)
 
     log_every = trainer_cfg.get("log_every_n_steps", 100)
+    check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
     for epoch in range(max_epochs):
         sampler.set_epoch(epoch)
         t0 = time.perf_counter()
@@ -255,6 +256,27 @@ def train_gan(
                 exp.logger.log_metrics(host, step=int(jax.device_get(state.step)))
             if exp.should_stop():
                 break
+        # validation: generator reconstruction losses without updates
+        if val_dataset is not None and (epoch + 1) % check_val_every == 0 and not exp.should_stop():
+            val_sampler = LengthBucketBatchSampler(
+                val_dataset.lengths, batch_size=batch_size, shuffle=False, drop_last=True
+            )
+            totals: Dict[str, float] = {}
+            n = 0
+            for batch in batch_iterator(val_dataset, val_sampler, buckets):
+                rng, sub = jax.random.split(rng)
+                _, vmetrics = model.g_loss_fn(
+                    state.g_params, state.d_params, state.d_stats,
+                    shard_batch(batch, mesh), sub, epoch,
+                )
+                for k, v in vmetrics.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+                n += 1
+            if n:
+                exp.logger.log_metrics(
+                    {f"val_{k}": v / n for k, v in totals.items()},
+                    step=int(jax.device_get(state.step)),
+                )
         exp.save(state, {k: float(v) for k, v in metrics.items()})
         if exp.should_stop():
             break
