@@ -1,0 +1,158 @@
+"""Reference-checkpoint conversion: torch state dicts -> roar_tpu pytrees.
+
+Converts the reference's PyTorch FastPitch weights
+(roar/collections/tts/modules/fastpitch.py parameter naming) into our flax
+FastPitchModule parameter tree, handling the layout differences:
+
+- torch Linear weight [out, in]      -> flax Dense kernel [in, out] (transpose)
+- torch Conv1d weight [out, in, k]   -> flax Conv kernel [k, in, out]
+- torch LayerNorm weight/bias        -> flax LayerNorm scale/bias
+- torch Embedding weight             -> flax Embed embedding
+
+This enables validation-by-weight-transplant (SURVEY.md §7 hard part 6):
+a reference-trained checkpoint can be loaded and compared output-for-output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+def _t(w):  # torch Linear -> Dense
+    return np.asarray(w).T
+
+
+def _conv(w):  # torch Conv1d [out, in, k] -> flax [k, in, out]
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def map_fastpitch_state_dict(sd: Dict[str, Any], n_layers: int = 6) -> Dict[str, np.ndarray]:
+    """Map reference FastPitchModule state-dict names to flax param paths.
+
+    Returns {'/'-joined flax path: array}.  Unknown keys are skipped (the
+    caller reports them).
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def put(path: str, value):
+        out[path] = np.asarray(value)
+
+    for key, w in sd.items():
+        k = key
+        # strip common prefixes (Lightning checkpoints carry "fastpitch." /
+        # "model." prefixes)
+        for pre in ("model.", "fastpitch."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+
+        # ---- encoder ----
+        if k == "encoder.word_emb.weight":
+            put("params/encoder_module/word_emb/embedding", w)
+        elif k.startswith("encoder.layers.") or k.startswith("decoder.layers."):
+            stack = "encoder_module/stack" if k.startswith("encoder.") else "decoder_module"
+            rest = k.split("layers.", 1)[1]
+            i, sub = rest.split(".", 1)
+            base = f"params/{stack}/layers_{i}"
+            if sub == "dec_attn.qkv_net.weight":
+                put(f"{base}/dec_attn/qkv_net/kernel", _t(w))
+            elif sub == "dec_attn.qkv_net.bias":
+                put(f"{base}/dec_attn/qkv_net/bias", w)
+            elif sub == "dec_attn.o_net.weight":
+                put(f"{base}/dec_attn/o_net/kernel", _t(w))
+            elif sub == "dec_attn.layer_norm.weight":
+                put(f"{base}/dec_attn/layer_norm/LayerNorm_0/scale", w)
+            elif sub == "dec_attn.layer_norm.bias":
+                put(f"{base}/dec_attn/layer_norm/LayerNorm_0/bias", w)
+            elif sub == "pos_ff.CoreNet.0.weight":
+                put(f"{base}/pos_ff/Conv_0/kernel", _conv(w))
+            elif sub == "pos_ff.CoreNet.0.bias":
+                put(f"{base}/pos_ff/Conv_0/bias", w)
+            elif sub == "pos_ff.CoreNet.2.weight":
+                put(f"{base}/pos_ff/Conv_1/kernel", _conv(w))
+            elif sub == "pos_ff.CoreNet.2.bias":
+                put(f"{base}/pos_ff/Conv_1/bias", w)
+            elif sub == "pos_ff.layer_norm.weight":
+                put(f"{base}/pos_ff/layer_norm/LayerNorm_0/scale", w)
+            elif sub == "pos_ff.layer_norm.bias":
+                put(f"{base}/pos_ff/layer_norm/LayerNorm_0/bias", w)
+        # ---- predictors ----
+        elif ".layers." in k and (
+            k.startswith("duration_predictor.") or k.startswith("pitch_predictor.")
+            or k.startswith("energy_predictor.")
+        ):
+            which = k.split(".", 1)[0]
+            rest = k.split("layers.", 1)[1]
+            i, sub = rest.split(".", 1)
+            base = f"params/{which}_module/layers_{i}"
+            if sub == "conv.weight":
+                put(f"{base}/Conv_0/kernel", _conv(w))
+            elif sub == "conv.bias":
+                put(f"{base}/Conv_0/bias", w)
+            elif sub == "norm.weight":
+                put(f"{base}/norm/LayerNorm_0/scale", w)
+            elif sub == "norm.bias":
+                put(f"{base}/norm/LayerNorm_0/bias", w)
+        elif k.endswith(".fc.weight") and "predictor" in k:
+            which = k.split(".", 1)[0]
+            put(f"params/{which}_module/fc/kernel", _t(w))
+        elif k.endswith(".fc.bias") and "predictor" in k:
+            which = k.split(".", 1)[0]
+            put(f"params/{which}_module/fc/bias", w)
+        # ---- aligner ----
+        elif k.startswith("aligner.key_proj.0."):
+            put("params/aligner_module/key_proj_0/Conv_0/kernel" if k.endswith("weight")
+                else "params/aligner_module/key_proj_0/Conv_0/bias",
+                _conv(w) if k.endswith("weight") else w)
+        elif k.startswith("aligner.key_proj.2."):
+            put("params/aligner_module/key_proj_1/Conv_0/kernel" if k.endswith("weight")
+                else "params/aligner_module/key_proj_1/Conv_0/bias",
+                _conv(w) if k.endswith("weight") else w)
+        elif k.startswith("aligner.query_proj.0."):
+            put("params/aligner_module/query_proj_0/Conv_0/kernel" if k.endswith("weight")
+                else "params/aligner_module/query_proj_0/Conv_0/bias",
+                _conv(w) if k.endswith("weight") else w)
+        elif k.startswith("aligner.query_proj.2."):
+            put("params/aligner_module/query_proj_1/Conv_0/kernel" if k.endswith("weight")
+                else "params/aligner_module/query_proj_1/Conv_0/bias",
+                _conv(w) if k.endswith("weight") else w)
+        elif k.startswith("aligner.query_proj.4."):
+            put("params/aligner_module/query_proj_2/Conv_0/kernel" if k.endswith("weight")
+                else "params/aligner_module/query_proj_2/Conv_0/bias",
+                _conv(w) if k.endswith("weight") else w)
+        # ---- embeddings / projections ----
+        elif k == "pitch_emb.weight":
+            put("params/pitch_emb/kernel", _conv(w))
+        elif k == "pitch_emb.bias":
+            put("params/pitch_emb/bias", w)
+        elif k == "energy_emb.weight":
+            put("params/energy_emb/kernel", _conv(w))
+        elif k == "energy_emb.bias":
+            put("params/energy_emb/bias", w)
+        elif k == "proj.weight":
+            put("params/proj/kernel", _t(w))
+        elif k == "proj.bias":
+            put("params/proj/bias", w)
+        elif k == "speaker_emb.weight":
+            put("params/speaker_table/embedding", w)
+    return out
+
+
+def apply_mapped_params(params: Any, mapped: Dict[str, np.ndarray]) -> Tuple[Any, List[str], List[str]]:
+    """Write mapped arrays into the flax tree by path; returns
+    (new_params, loaded, missing)."""
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    leaves, treedef = tree_flatten_with_path(params)
+    new_leaves, loaded, missing = [], [], []
+    for kp, v in leaves:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        cand = mapped.get(path)
+        if cand is not None and cand.shape == v.shape:
+            new_leaves.append(cand.astype(np.asarray(v).dtype))
+            loaded.append(path)
+        else:
+            new_leaves.append(v)
+            missing.append(path)
+    return tree_unflatten(treedef, new_leaves), loaded, missing
