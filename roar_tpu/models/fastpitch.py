@@ -191,6 +191,9 @@ class FastPitchModule(nn.Module):
     speaker_emb_condition_prosody: bool = False
     speaker_emb_condition_decoder: bool = False
     speaker_emb_condition_aligner: bool = False
+    # reference-audio style conditioning (GST, submodules.py:620-829)
+    use_gst: bool = False
+    gst_size: int = 0  # 0 -> symbols_embedding_dim
 
     @property
     def learn_alignment(self) -> bool:
@@ -230,10 +233,13 @@ class FastPitchModule(nn.Module):
                 dist_type=al.dist_type,
             )
         if self.n_speakers > 1:
-            self.speaker_encoder_module = SpeakerEncoder(
-                lookup=None, embedding_dim=self.symbols_embedding_dim
-            )
             self.speaker_table = nn.Embed(self.n_speakers, self.symbols_embedding_dim)
+        if self.use_gst:
+            from roar_tpu.models.submodules import GlobalStyleToken
+
+            self.gst_module = GlobalStyleToken(
+                gst_size=self.gst_size or self.symbols_embedding_dim
+            )
         self.pitch_emb = nn.Conv(
             self.symbols_embedding_dim,
             (self.pitch_embedding_kernel_size,),
@@ -247,10 +253,16 @@ class FastPitchModule(nn.Module):
             )
         self.proj = nn.Dense(self.n_mel_channels)
 
-    def get_speaker_embedding(self, speaker):
-        if self.n_speakers <= 1 or speaker is None:
-            return None
-        return self.speaker_table(speaker)[:, None, :]  # [B, 1, D]
+    def get_speaker_embedding(self, speaker, reference_spec=None, reference_spec_lens=None):
+        """Combine lookup and/or GST reference-audio embeddings
+        (models/fastpitch.py:262-277 get_speaker_embedding)."""
+        emb = None
+        if self.n_speakers > 1 and speaker is not None:
+            emb = self.speaker_table(speaker)[:, None, :]  # [B, 1, D]
+        if self.use_gst and reference_spec is not None:
+            gst = self.gst_module(reference_spec, reference_spec_lens)[:, None, :]
+            emb = gst if emb is None else emb + gst
+        return emb
 
     def __call__(
         self,
@@ -265,6 +277,8 @@ class FastPitchModule(nn.Module):
         mel_lens: Optional[jnp.ndarray] = None,
         input_lens: Optional[jnp.ndarray] = None,
         max_mel_len: Optional[int] = None,
+        reference_spec: Optional[jnp.ndarray] = None,
+        reference_spec_lens: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         """Training/teacher-forced forward (modules/fastpitch.py:280-405).
@@ -272,7 +286,7 @@ class FastPitchModule(nn.Module):
         spec: [B, T_mel, n_mel] ground-truth mel (channels-last) when
         learning alignment.  Returns a dict of outputs.
         """
-        spk_emb = self.get_speaker_embedding(speaker)
+        spk_emb = self.get_speaker_embedding(speaker, reference_spec, reference_spec_lens)
         prosody_cond = spk_emb if self.speaker_emb_condition_prosody else None
         decoder_cond = spk_emb if self.speaker_emb_condition_decoder else None
         aligner_cond = spk_emb if self.speaker_emb_condition_aligner else None
@@ -386,10 +400,12 @@ class FastPitchModule(nn.Module):
         energy: Optional[jnp.ndarray] = None,
         pace: float = 1.0,
         max_mel_len: int = 2048,
+        reference_spec: Optional[jnp.ndarray] = None,
+        reference_spec_lens: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """Inference path (modules/fastpitch.py:407-480); static max_mel_len
         chooses the decoder bucket."""
-        spk_emb = self.get_speaker_embedding(speaker)
+        spk_emb = self.get_speaker_embedding(speaker, reference_spec, reference_spec_lens)
         prosody_cond = spk_emb if self.speaker_emb_condition_prosody else None
         decoder_cond = spk_emb if self.speaker_emb_condition_decoder else None
 

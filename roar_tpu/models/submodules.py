@@ -167,6 +167,89 @@ class SpeakerEncoder(nn.Module):
         return None
 
 
+class ReferenceEncoder(nn.Module):
+    """Mel reference encoder (submodules.py:620-750 ReferenceEncoder).
+
+    Strided 2D conv stack over the mel image followed by masked mean pooling
+    + projection.  (The torch reference pools with a GRU; mean pooling is the
+    recurrence-free TPU equivalent and performs comparably for style
+    embeddings.)
+    """
+
+    ref_enc_filters: Sequence[int] = (32, 32, 64, 64, 128, 128)
+    gru_rnn_units: int = 128  # output dim (name kept from the reference cfg)
+
+    @nn.compact
+    def __call__(self, spec, spec_lens=None):
+        # spec: [B, T, n_mel]
+        x = spec[..., None]  # [B, T, M, 1]
+        t_down = x.shape[1]
+        for i, ch in enumerate(self.ref_enc_filters):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", name=f"convs_{i}")(x)
+            x = nn.relu(nn.LayerNorm(name=f"norm_{i}")(x))
+        b, t, m, c = x.shape
+        x = x.reshape(b, t, m * c)
+        if spec_lens is not None:
+            down = 2 ** len(self.ref_enc_filters)
+            lens = jnp.maximum((spec_lens + down - 1) // down, 1)
+            mask = (jnp.arange(t)[None, :] < lens[:, None]).astype(x.dtype)[..., None]
+            pooled = jnp.sum(x * mask, axis=1) / jnp.maximum(
+                jnp.sum(mask, axis=1), 1.0
+            )
+        else:
+            pooled = jnp.mean(x, axis=1)
+        return nn.tanh(nn.Dense(self.gru_rnn_units, name="proj")(pooled))  # [B, D]
+
+
+class StyleAttention(nn.Module):
+    """Multi-head attention over a learned style-token bank
+    (submodules.py:620-680 StyleAttention)."""
+
+    gst_size: int = 128
+    n_style_token: int = 10
+    n_style_attn_head: int = 4
+
+    @nn.compact
+    def __call__(self, ref_emb):
+        # ref_emb: [B, D_ref]
+        tokens = self.param(
+            "style_tokens",
+            nn.initializers.normal(0.5),
+            (self.n_style_token, self.gst_size // self.n_style_attn_head),
+        )
+        b = ref_emb.shape[0]
+        keys = nn.tanh(tokens)[None].repeat(b, axis=0)  # [B, N, d_k]
+        q = nn.Dense(self.gst_size, use_bias=False, name="q_proj")(ref_emb)
+        k = nn.Dense(self.gst_size, use_bias=False, name="k_proj")(keys)
+        v = nn.Dense(self.gst_size, use_bias=False, name="v_proj")(keys)
+        h = self.n_style_attn_head
+        d = self.gst_size // h
+        q = q.reshape(b, h, 1, d)
+        k = k.reshape(b, self.n_style_token, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, self.n_style_token, h, d).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(d, q.dtype))
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v).reshape(b, self.gst_size)
+        return out  # [B, gst_size]
+
+
+class GlobalStyleToken(nn.Module):
+    """ReferenceEncoder + StyleAttention (submodules.py:681-829)."""
+
+    gst_size: int = 128
+    n_style_token: int = 10
+    n_style_attn_head: int = 4
+
+    @nn.compact
+    def __call__(self, ref_spec, ref_spec_lens=None):
+        emb = ReferenceEncoder(gru_rnn_units=self.gst_size, name="reference_encoder")(
+            ref_spec, ref_spec_lens
+        )
+        return StyleAttention(
+            self.gst_size, self.n_style_token, self.n_style_attn_head, name="style_attention"
+        )(emb)
+
+
 class MaskedInstanceNorm1d(nn.Module):
     """Instance norm over valid time steps only (submodules.py:54-88)."""
 

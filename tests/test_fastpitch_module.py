@@ -250,3 +250,34 @@ def test_rope_cache_properties():
     )
     # position 0 is identity
     np.testing.assert_allclose(np.asarray(y)[:, 0], np.asarray(x)[:, 0], atol=1e-6)
+
+
+def test_gst_reference_conditioning():
+    d = 32
+    ct = ("add",)
+    fft = FFTConfig(n_layer=1, n_head=1, d_model=d, d_head=16, d_inner=64,
+                    kernel_size=3, condition_types=ct)
+    model = FastPitchModule(
+        n_symbols=40, encoder=fft, decoder=fft,
+        duration_predictor=PredictorConfig(input_size=d, filter_size=16),
+        pitch_predictor=PredictorConfig(input_size=d, filter_size=16),
+        aligner=AlignerConfig(n_text_channels=d, n_att_channels=16),
+        symbols_embedding_dim=d, n_mel_channels=20,
+        use_gst=True,
+        speaker_emb_condition_decoder=True,
+    )
+    rng = np.random.default_rng(7)
+    text, text_lens, spec, mel_lens, pitch, prior = make_batch(rng)
+    ref = jnp.asarray(rng.standard_normal((2, 64, 20)).astype(np.float32))
+    ref_lens = jnp.asarray([64, 48])
+    kwargs = dict(pitch=pitch, spec=spec, attn_prior=prior, mel_lens=mel_lens,
+                  input_lens=text_lens, reference_spec=ref, reference_spec_lens=ref_lens)
+    params = model.init({"params": jax.random.PRNGKey(0)}, text, **kwargs)
+    out1 = model.apply(params, text, **kwargs)
+    # different reference audio -> different output
+    ref2 = jnp.asarray(rng.standard_normal((2, 64, 20)).astype(np.float32)) * 3
+    kwargs2 = dict(kwargs)
+    kwargs2["reference_spec"] = ref2
+    out2 = model.apply(params, text, **kwargs2)
+    assert not np.allclose(np.asarray(out1["spect"]), np.asarray(out2["spect"]))
+    assert np.isfinite(np.asarray(out1["spect"])).all()
