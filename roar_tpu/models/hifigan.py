@@ -185,12 +185,14 @@ class DiscriminatorP(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    debug: bool = False  # tiny channels (reference `debug` flag)
 
     @nn.compact
     def __call__(self, y, y_hat):
+        chs = (8, 12, 32, 64) if self.debug else (32, 128, 512, 1024)
         real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, name=f"disc_p{p}")
+            d = DiscriminatorP(p, conv_channels=chs, name=f"disc_p{p}")
             sr, fr = d(y)
             sg, fg = d(y_hat)
             real_scores.append(sr)
@@ -261,14 +263,17 @@ def _avg_pool_1d(x, window=4, stride=2, padding=2):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    debug: bool = False  # tiny channels (reference `debug` flag)
+
     @nn.compact
     def __call__(self, y, y_hat, update_stats: bool = False):
+        chs = (16, 32, 32, 64) if self.debug else (128, 256, 512, 1024)
         real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
         for i in range(3):
             if i != 0:
                 y = _avg_pool_1d(y)
                 y_hat = _avg_pool_1d(y_hat)
-            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"disc_s{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), conv_channels=chs, name=f"disc_s{i}")
             sr, fr = d(y, update_stats=update_stats)
             sg, fg = d(y_hat, update_stats=update_stats)
             real_scores.append(sr)

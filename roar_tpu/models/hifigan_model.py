@@ -59,8 +59,9 @@ class HifiGanModel:
         )
         n_mel = self.mel_cfg.nfilt
         self.generator = generator_from_config(cfg.get("generator", {}), n_mel)
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+        debug = cfg.get("debug", False)
+        self.mpd = MultiPeriodDiscriminator(debug=debug)
+        self.msd = MultiScaleDiscriminator(debug=debug)
         self.l1_factor = cfg.get("l1_loss_factor", 45)
 
     # ------------------------------------------------------------------

@@ -102,8 +102,9 @@ class JETSModel:
             speaker_emb_condition_decoder=cfg.get("speaker_emb_condition_decoder", False),
             speaker_emb_condition_aligner=cfg.get("speaker_emb_condition_aligner", False),
         )
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+        debug = cfg.get("debug", False)
+        self.mpd = MultiPeriodDiscriminator(debug=debug)
+        self.msd = MultiScaleDiscriminator(debug=debug)
 
         self.mel_loss_scale = cfg.get("mel_loss_scale", 45.0)
         self.feature_loss_scale = cfg.get("feature_loss_scale", 2.0)

@@ -41,6 +41,7 @@ def hifigan_setup():
             "resblock_dilation_sizes": [[1, 3]],
         },
         "l1_loss_factor": 45,
+        "debug": True,
     }
     model = HifiGanModel(cfg)
     rng = np.random.default_rng(0)
