@@ -1,0 +1,248 @@
+"""Decoder-only GPT with GQA, RoPE, RMSNorm and a functional KV cache.
+
+Re-design of the reference's lit-gpt-style NLP collection
+(roar/collections/nlp/modules/gpt/gpt.py:63-430 `GPT` /
+`CausalSelfAttention`, parts/submodules/llm.py:7-56 `KVCache`/`RMSNorm`,
+config registry nlp/modules/gpt/config.py:17, SwiGLU `LLaMAMLP`).  The
+external fused CUDA kernels it wraps (flash-attn RMSNorm/rotary/SwiGLU,
+SURVEY.md §2.9 #5-#7) are plain jnp here — XLA fuses them on TPU.
+
+Decoding is functional: the KV cache is an explicit pytree threaded through
+`decode_step`, and `generate` drives it with `lax.scan` (static shapes:
+the cache is pre-allocated at `block_size`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from roar_tpu.ops.rope import apply_rope, build_rope_cache
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    """Architecture config (nlp/modules/gpt/config.py registry analogue)."""
+
+    vocab_size: int = 32000
+    block_size: int = 2048
+    n_layer: int = 22
+    n_head: int = 32
+    n_embd: int = 2048
+    n_query_groups: Optional[int] = 4  # GQA; None -> MHA
+    intermediate_size: Optional[int] = 5632
+    rotary_percentage: float = 1.0
+    norm_eps: float = 1e-5
+    mlp_class: str = "LLaMAMLP"  # or "GptNeoxMLP"
+    parallel_residual: bool = False
+
+    @property
+    def head_size(self) -> int:
+        return self.n_embd // self.n_head
+
+    @property
+    def groups(self) -> int:
+        return self.n_query_groups or self.n_head
+
+    @property
+    def rope_n_elem(self) -> int:
+        return int(self.rotary_percentage * self.head_size)
+
+
+# A few named architectures (config.py:17 registry analogue).
+GPT_CONFIGS: Dict[str, GPTConfig] = {
+    "tiny-llama-1.1b": GPTConfig(
+        vocab_size=32000, block_size=2048, n_layer=22, n_head=32, n_embd=2048,
+        n_query_groups=4, intermediate_size=5632,
+    ),
+    "pythia-70m": GPTConfig(
+        vocab_size=50304, block_size=2048, n_layer=6, n_head=8, n_embd=512,
+        n_query_groups=None, intermediate_size=2048, mlp_class="GptNeoxMLP",
+        parallel_residual=True,
+    ),
+}
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square norm (llm.py:56; the fused CUDA version is one fused
+    XLA op here)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+class LLaMAMLP(nn.Module):
+    """SwiGLU MLP: silu(x W1) * (x W3) W2 — the xformers SwiGLU analogue."""
+
+    intermediate_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        gate = nn.Dense(self.intermediate_size, use_bias=False, name="fc_1")(x)
+        up = nn.Dense(self.intermediate_size, use_bias=False, name="fc_2")(x)
+        return nn.Dense(d, use_bias=False, name="proj")(nn.silu(gate) * up)
+
+
+class GptNeoxMLP(nn.Module):
+    intermediate_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        h = nn.gelu(nn.Dense(self.intermediate_size, name="fc")(x))
+        return nn.Dense(d, name="proj")(h)
+
+
+class CausalSelfAttention(nn.Module):
+    """GQA causal attention with RoPE and optional KV-cache decode."""
+
+    config: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, pos_offset=0, kv_cache=None, mask=None):
+        cfg = self.config
+        b, t, _ = x.shape
+        hs, nh, ng = cfg.head_size, cfg.n_head, cfg.groups
+        qkv = nn.Dense((nh + 2 * ng) * hs, use_bias=False, name="attn")(x)
+        q, k, v = jnp.split(qkv, [nh * hs, (nh + ng) * hs], axis=-1)
+        q = q.reshape(b, t, nh, hs)
+        k = k.reshape(b, t, ng, hs)
+        v = v.reshape(b, t, ng, hs)
+
+        cos, sin = build_rope_cache(cfg.block_size, cfg.rope_n_elem)
+        cos = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos), pos_offset, t, 0)
+        sin = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin), pos_offset, t, 0)
+        ne = cfg.rope_n_elem
+        q = jnp.concatenate([apply_rope(q[..., :ne], cos, sin), q[..., ne:]], -1)
+        k = jnp.concatenate([apply_rope(k[..., :ne], cos, sin), k[..., ne:]], -1)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache  # [B, block, G, hs]
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k, pos_offset, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v, pos_offset, axis=1)
+            k, v = ck, cv
+            new_cache = (ck, cv)
+
+        # expand groups to heads (GQA)
+        rep = nh // ng
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+        scale = 1.0 / np.sqrt(hs)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        t_k = k.shape[1]
+        q_pos = pos_offset + jnp.arange(t)[:, None]
+        k_pos = jnp.arange(t_k)[None, :]
+        causal = k_pos <= q_pos  # [t, t_k]
+        scores = jnp.where(causal[None, None], scores, -1e9)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :t_k], scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, nh * hs)
+        out = nn.Dense(cfg.n_embd, use_bias=False, name="proj")(out)
+        return out, new_cache
+
+
+class Block(nn.Module):
+    config: GPTConfig
+
+    @nn.compact
+    def __call__(self, x, pos_offset=0, kv_cache=None, mask=None):
+        cfg = self.config
+        mlp_cls = LLaMAMLP if cfg.mlp_class == "LLaMAMLP" else GptNeoxMLP
+        h, new_cache = CausalSelfAttention(cfg, name="attn")(
+            RMSNorm(cfg.norm_eps, name="norm_1")(x), pos_offset, kv_cache, mask
+        )
+        if cfg.parallel_residual:
+            m = mlp_cls(cfg.intermediate_size or 4 * cfg.n_embd, name="mlp")(
+                RMSNorm(cfg.norm_eps, name="norm_2")(x)
+            )
+            return x + h + m, new_cache
+        x = x + h
+        m = mlp_cls(cfg.intermediate_size or 4 * cfg.n_embd, name="mlp")(
+            RMSNorm(cfg.norm_eps, name="norm_2")(x)
+        )
+        return x + m, new_cache
+
+
+class GPT(nn.Module):
+    """Token ids -> logits; supports full-sequence and cached decode."""
+
+    config: GPTConfig
+
+    @nn.compact
+    def __call__(self, tokens, pos_offset=0, kv_caches=None, mask=None):
+        cfg = self.config
+        x = nn.Embed(cfg.vocab_size, cfg.n_embd, name="wte")(tokens)
+        new_caches = []
+        for i in range(cfg.n_layer):
+            cache_i = kv_caches[i] if kv_caches is not None else None
+            x, nc = Block(cfg, name=f"h_{i}")(x, pos_offset, cache_i, mask)
+            new_caches.append(nc)
+        x = RMSNorm(cfg.norm_eps, name="ln_f")(x)
+        logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(x)
+        if kv_caches is None:
+            return logits
+        return logits, new_caches
+
+
+def init_kv_caches(cfg: GPTConfig, batch: int, dtype=jnp.float32):
+    """Pre-allocated [B, block_size, groups, head_size] caches per layer."""
+    shape = (batch, cfg.block_size, cfg.groups, cfg.head_size)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_layer)
+    ]
+
+
+def generate(
+    model: GPT,
+    params,
+    prompt: jnp.ndarray,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """Greedy / top-k sampling with KV cache, static shapes via lax.scan
+    (text_generation utils analogue)."""
+    cfg = model.config
+    b, t0 = prompt.shape
+    caches = init_kv_caches(cfg, b)
+    # prefill
+    logits, caches = model.apply(params, prompt, 0, caches)
+    last_logits = logits[:, -1]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def sample(logits, key):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+        logits = logits / max(temperature, 1e-6)
+        if top_k is not None:
+            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            logits = jnp.where(logits < kth, -1e9, logits)
+        return jax.random.categorical(key, logits).astype(prompt.dtype)
+
+    def step(carry, i):
+        caches, last_logits, key = carry
+        key, sub = jax.random.split(key)
+        tok = sample(last_logits, sub)
+        logits, caches = model.apply(params, tok[:, None], t0 + i, caches)
+        return (caches, logits[:, 0], key), tok
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (caches, last_logits, rng), jnp.arange(max_new_tokens)
+    )
+    return jnp.concatenate([prompt, toks.swapaxes(0, 1)], axis=1)
