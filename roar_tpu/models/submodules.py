@@ -105,6 +105,34 @@ class ConditionalLayerNorm(nn.Module):
         return y
 
 
+class ConditionalRMSNorm(nn.Module):
+    """RMSNorm with conditioning-derived scale/shift
+    (submodules.py:533-570; the FusedRMSNorm CUDA ext it wraps is one fused
+    XLA op here)."""
+
+    hidden_dim: int
+    condition_dim: Optional[int] = None
+    condition_types: Sequence[str] = ()
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, conditioning=None):
+        check_support_condition_types(self.condition_types)
+        condition = "layernorm" in self.condition_types
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = (x * (1.0 / jnp.sqrt(var + self.eps))).astype(x.dtype)
+        if not condition:
+            scale = self.param("scale", constant(1.0), (self.hidden_dim,))
+            return y * scale
+        if conditioning is None:
+            raise ValueError("conditioning required for ConditionalRMSNorm")
+        w = nn.Dense(self.hidden_dim, kernel_init=zeros, bias_init=constant(1.0))(
+            conditioning
+        )
+        b = nn.Dense(self.hidden_dim, kernel_init=zeros, bias_init=zeros)(conditioning)
+        return y * w + b
+
+
 class ConditionalInput(nn.Module):
     """Adds / concats a (projected) conditioning embedding to inputs
     (submodules.py:572-619)."""
