@@ -7,3 +7,8 @@ from roar_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from roar_tpu.parallel.tp import (  # noqa: F401
+    FFT_TP_RULES,
+    shard_params,
+    tp_param_shardings,
+)

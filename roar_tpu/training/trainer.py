@@ -133,6 +133,7 @@ class Trainer:
     callbacks: Tuple = ()
     precision: Optional[str] = None
     accumulate_grad_batches: int = 1
+    tp_rules: Optional[Any] = None  # parallel/tp.py rules: shard params over 'model'
 
     def __post_init__(self):
         opt = self.optimizer
@@ -147,6 +148,14 @@ class Trainer:
         self._rng = jax.random.PRNGKey(self.seed)
 
     def init_state(self, params, extra=None) -> TrainState:
+        if self.mesh is not None and self.tp_rules is not None and self.mesh.shape.get("model", 1) > 1:
+            from roar_tpu.parallel.tp import shard_params
+
+            params = shard_params(params, self.mesh, self.tp_rules)
+            state = create_train_state(params, self.optimizer, self.ema_decay, extra)
+            # opt state / ema inherit the params' shardings lazily; replicate
+            # only the scalar step
+            return state
         state = create_train_state(params, self.optimizer, self.ema_decay, extra)
         if self.mesh is not None:
             state = replicate(state, self.mesh)

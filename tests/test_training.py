@@ -253,3 +253,25 @@ def test_grad_accumulation(fp_setup):
         for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p2))
     )
     assert changed
+
+
+def test_tensor_parallel_fastpitch_step(fp_setup):
+    """Real TP: FFT-block params sharded over the mesh 'model' axis via
+    GSPMD; one train step on a (data=2, model=2) mesh."""
+    from roar_tpu.parallel import FFT_TP_RULES, tp_param_shardings
+
+    model, ds, batch = fp_setup
+    params = model.init_params(jax.random.PRNGKey(4), batch)
+    mesh = make_mesh(data=2, model=2)
+    opt = build_optimizer({"name": "adamw", "lr": 1e-3})
+    trainer = Trainer(
+        loss_fn=lambda p, b, r, e: model.loss_fn(p, b, r, e),
+        optimizer=opt, mesh=mesh, tp_rules=FFT_TP_RULES,
+    )
+    state = trainer.init_state(params)
+    # qkv kernels actually sharded over 'model'
+    shardings = tp_param_shardings(params, mesh)
+    qkv = state.params["params"]["encoder_module"]["stack"]["layers_0"]["dec_attn"]["qkv_net"]["kernel"]
+    assert len(qkv.sharding.device_set) >= 2
+    state, metrics = trainer.run_epoch(state, [batch], epoch=0)
+    assert np.isfinite(metrics["loss"])
