@@ -1,0 +1,75 @@
+"""Train the speech enhancement model (reference entry:
+examples/audio_tasks/speech_enhancement.py:11-42).
+
+Manifest entries need `audio_filepath` (noisy) and `target_filepath` (clean).
+
+    python examples/audio_tasks/speech_enhancement.py --config-name=speech_enhancement \
+        train_dataset=train.json
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+from roar_tpu.config.cli import config_runner
+from roar_tpu.data.audio import AudioSegment
+from roar_tpu.data.manifest import read_manifest
+from roar_tpu.models.enhancement import EncMaskDecEnhancementModel
+from roar_tpu.training.run import train_supervised
+
+
+class PairedAudioDataset:
+    """(noisy, clean) pairs with fixed-length random crops."""
+
+    def __init__(self, manifest_filepath, sample_rate, segment_samples=32768, seed=0):
+        self.entries = read_manifest(manifest_filepath)
+        self.sample_rate = sample_rate
+        self.segment = segment_samples
+        self.lengths = [float(e.get("duration", 0.0)) for e in self.entries]
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, idx):
+        e = self.entries[idx]
+        noisy = AudioSegment.from_file(e["audio_filepath"], target_sr=self.sample_rate).samples
+        clean = AudioSegment.from_file(e["target_filepath"], target_sr=self.sample_rate).samples
+        n = min(len(noisy), len(clean))
+        if n >= self.segment:
+            s = int(self._rng.integers(0, n - self.segment + 1))
+            noisy, clean = noisy[s : s + self.segment], clean[s : s + self.segment]
+        else:
+            noisy = np.pad(noisy[:n], (0, self.segment - n))
+            clean = np.pad(clean[:n], (0, self.segment - n))
+        return {
+            "input_signal": noisy,
+            "target_signal": clean,
+            "input_length": np.int32(min(n, self.segment)),
+        }
+
+    def collate(self, items, buckets=None):
+        return {
+            "input_signal": np.stack([i["input_signal"] for i in items]),
+            "target_signal": np.stack([i["target_signal"] for i in items]),
+            "input_length": np.asarray([i["input_length"] for i in items]),
+        }
+
+
+@config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
+               config_name="speech_enhancement")
+def main(cfg):
+    model = EncMaskDecEnhancementModel(cfg["model"])
+    ds = PairedAudioDataset(
+        cfg["train_dataset"],
+        sample_rate=cfg["model"].get("sample_rate", 16000),
+        segment_samples=cfg["model"].get("segment_samples", 32768),
+    )
+    train_supervised(cfg, model, ds, None)
+
+
+if __name__ == "__main__":
+    main()
