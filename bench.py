@@ -90,7 +90,7 @@ def main():
             jnp.sum(mel) + jnp.sum(energy) + jnp.sum(f0) + jnp.sum(vprob)
         ) + jnp.sum(mel_lens) + jnp.sum(voiced)
 
-    batch, seconds = 16, 10.0
+    batch, seconds = 64, 10.0
     audios = make_audio(batch, seconds, sr, seed=2)
     lens = np.array([len(a) for a in audios], np.int32)
     pad = int(np.ceil(lens.max() / 16384)) * 16384

@@ -2,10 +2,14 @@
 
 Re-design of roar/collections/tts/modules/hifigan_modules.py:26-476 for TPU:
 channels-last [B, T, C] layout so 1D convs map straight onto XLA's conv
-lowering, weight normalization via flax nn.WeightNorm (the reparameterized
-training path; `remove_weight_norm` becomes a pure parameter fold for
-inference), spectral norm via nn.SpectralNorm (mutable 'batch_stats' holds
-the power-iteration vectors).
+lowering, weight normalization via flax nn.WeightNorm, spectral norm via
+nn.SpectralNorm (mutable 'batch_stats' holds the power-iteration vectors).
+
+`remove_weight_norm` (hifigan_modules.py:246-255) needs no analogue: at
+inference the parameters are closed over as compile-time constants
+(scripts/export.py, convert_spectrogram_to_audio under jit), so XLA
+constant-folds the weight-norm reparameterization — the serving graph
+already runs on plain folded kernels.
 
 Generator: conv_pre -> [ConvTranspose upsample -> mean of MRF resblocks] x N
 -> conv_post -> tanh (hifigan_modules.py:164-255).
