@@ -367,8 +367,7 @@ def banded_viterbi_decode(
     p_init[n:] = np.log(1.0 / n)
     v0 = jnp.asarray(p_init)[None] + log_obs[:, 0]
 
-    # window gather indices: for output bin j, sources i = j - half .. j + half
-    win_idx = np.arange(n)[:, None] + np.arange(w)[None, :]  # into padded [-half..]
+    log_tri_host = _band_tables(n, cfg.transition_width)[0]
 
     def step(v, obs_t):
         v_v, v_u = v[:, :n], v[:, n:]
@@ -381,13 +380,20 @@ def banded_viterbi_decode(
         src_is_u_cross = (u_u + log_stay) > (u_v + log_switch)
 
         def band_max(wvals):
+            # Unrolled static slices instead of a [B, N, W] gather: TPU
+            # lowers gathers poorly; W shifted adds + running max/argmax are
+            # pure fused VPU work (first max wins ties, like argmax).
             padded = jnp.pad(
                 wvals, ((0, 0), (half, half)), constant_values=_NEG_INF
             )
-            windows = padded[:, win_idx] + log_tri[None, None, :]  # [B, N, W]
-            off = jnp.argmax(windows, axis=-1).astype(jnp.int32)
-            best = jnp.max(windows, axis=-1)
-            src = jnp.arange(n, dtype=jnp.int32)[None, :] - half + off
+            best = jnp.full_like(wvals, _NEG_INF)
+            best_off = jnp.zeros(wvals.shape, jnp.int32)
+            for o in range(w):
+                cand = padded[:, o : o + n] + float(log_tri_host[o])
+                take = cand > best
+                best = jnp.where(take, cand, best)
+                best_off = jnp.where(take, o, best_off)
+            src = jnp.arange(n, dtype=jnp.int32)[None, :] - half + best_off
             return best, jnp.clip(src, 0, n - 1)
 
         best_v, src_v = band_max(w_same)
@@ -451,7 +457,7 @@ def pyin(
     audio: jnp.ndarray,
     audio_lens: jnp.ndarray,
     cfg: PyinConfig,
-    frame_chunk: int = 256,
+    frame_chunk: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched pYIN.
 
@@ -493,7 +499,19 @@ def pyin(
     # log(x + tiny) semantics (fp32 tiny would give only -87)
     log_obs = jnp.where(obs > 0, jnp.log(jnp.maximum(obs, 1e-37)), -700.0)
 
-    states = banded_viterbi_decode(log_obs, cfg)  # [B, T]
+    use_pallas = False
+    try:
+        use_pallas = jax.default_backend() == "tpu"
+    except Exception:
+        pass
+    if use_pallas:
+        # single-launch Pallas kernel: DP state stays in VMEM across all
+        # steps (the XLA scan is dispatch-latency bound)
+        from roar_tpu.ops.pyin_pallas import banded_viterbi_decode_pallas
+
+        states = banded_viterbi_decode_pallas(log_obs, cfg)
+    else:
+        states = banded_viterbi_decode(log_obs, cfg)  # [B, T]
 
     freqs = jnp.asarray(cfg.freqs().astype(np.float32))
     f0 = freqs[states % cfg.n_pitch_bins]

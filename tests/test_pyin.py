@@ -310,3 +310,21 @@ def test_cpu_reference_agrees_with_device():
     if both.any():
         rel = np.abs(f0_d[both] - f0_c[both]) / f0_c[both]
         assert np.median(rel) < 0.01
+
+
+def test_pallas_viterbi_matches_xla_interpret():
+    """The Pallas banded-Viterbi kernel (interpret mode on CPU) decodes
+    identically to the XLA scan implementation."""
+    from roar_tpu.ops.pyin import banded_viterbi_decode
+    from roar_tpu.ops.pyin_pallas import banded_viterbi_decode_pallas
+
+    cfg = SMALL
+    n = cfg.n_pitch_bins
+    rng = np.random.default_rng(11)
+    b, t = 2, 14
+    obs = rng.random((b, t, 2 * n)).astype(np.float32)
+    obs /= obs.sum(-1, keepdims=True)
+    log_obs = jnp.asarray(np.where(obs > 0, np.log(np.maximum(obs, 1e-37)), -700.0))
+    ref = np.asarray(banded_viterbi_decode(log_obs, cfg))
+    got = np.asarray(banded_viterbi_decode_pallas(log_obs, cfg, interpret=True))
+    np.testing.assert_array_equal(got, ref)
