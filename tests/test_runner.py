@@ -105,3 +105,43 @@ def test_train_supervised_aligner_end_to_end(corpus):
     durs = np.asarray(durs)
     assert durs.shape == (4, batch["text"].shape[1])
     assert (durs.sum(-1) > 0).all()
+
+
+def test_train_gan_hifigan_end_to_end(corpus):
+    """train_gan glue: VocoderDataset -> HifiGanModel for one epoch."""
+    from roar_tpu.data import VocoderDataset
+    from roar_tpu.models.hifigan_model import HifiGanModel
+    from roar_tpu.training.run import train_gan
+
+    root, man, sr = corpus
+    cfg = {
+        "name": "HifiGanTest",
+        "model": {
+            "preprocessor": {
+                "sample_rate": sr, "nfilt": 24, "n_window_size": 512,
+                "n_window_stride": 128, "n_fft": 512, "highfreq": 8000,
+                "preemph": None, "normalize": None, "mag_power": 1.0,
+                "log_zero_guard_type": "clamp", "log_zero_guard_value": 1e-05,
+                "dither": 0.0, "pad_to": 0, "exact_pad": True,
+            },
+            "generator": {
+                "resblock": 2, "upsample_rates": [8, 4, 4],
+                "upsample_kernel_sizes": [16, 8, 8],
+                "upsample_initial_channel": 32,
+                "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+            },
+            "debug": True,
+            "train_ds": {"dataloader_params": {"batch_size": 4, "shuffle": True}},
+            "optim": {"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]},
+        },
+        "trainer": {"max_epochs": 1, "log_every_n_steps": 1, "max_steps": 100},
+        "exp_manager": {
+            "exp_dir": str(root / "exp_gan"), "name": "hifigan",
+            "create_tensorboard_logger": False,
+        },
+    }
+    model = HifiGanModel(cfg["model"])
+    ds = VocoderDataset(manifest_filepath=str(man), sample_rate=sr, n_segments=2048)
+    state = train_gan(cfg, model, ds, None)
+    assert int(np.asarray(jax.device_get(state.step))) >= 1
+    assert (root / "exp_gan" / "hifigan" / "metrics.jsonl").exists()
