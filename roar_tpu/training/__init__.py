@@ -15,3 +15,6 @@ from roar_tpu.training.trainer import (  # noqa: F401
     create_train_state,
     make_train_step,
 )
+from roar_tpu.training.convert import apply_mapped_params, map_fastpitch_state_dict  # noqa: F401
+from roar_tpu.training.finetune import count_trainable, masked_optimizer, param_labels  # noqa: F401
+from roar_tpu.training.gan import GANTrainState, create_gan_state, make_gan_train_step  # noqa: F401

@@ -144,3 +144,49 @@ def test_extract_sup_data_script(tmp_path):
         float(np.median(v[v > 0])) for v in (np.load(f) for f in pitch_files)
     )
     np.testing.assert_allclose(meds, [150, 180, 210], rtol=0.05)
+
+
+def test_export_script_fastpitch(tmp_path):
+    """scripts/export.py produces a serialized StableHLO artifact."""
+    import jax
+
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.save_restore import save_to
+
+    cfg = {
+        "n_mel_channels": 16,
+        "symbols_embedding_dim": 32,
+        "n_symbols": 40,
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "preprocessor": {"sample_rate": 22050, "features": 16, "n_window_size": 512,
+                         "n_window_stride": 128, "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    import jax.numpy as jnp
+
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    params = model.module.init(
+        {"params": jax.random.PRNGKey(0)}, tokens, max_mel_len=64,
+        method=model.module.infer,
+    )
+    bundle = tmp_path / "m.roar"
+    save_to(str(bundle), {"target": "FastPitchModel", "model": cfg}, params)
+
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts/export.py"),
+            "--model", str(bundle), "--kind", "fastpitch",
+            "--out", str(tmp_path / "exported"),
+            "--batch", "1", "--text-len", "16", "--mel-len", "64",
+        ],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out_file = tmp_path / "exported" / "fastpitch.stablehlo"
+    assert out_file.exists() and out_file.stat().st_size > 1000
