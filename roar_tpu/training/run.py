@@ -104,12 +104,13 @@ def train_supervised(
     max_epochs = max_epochs or trainer_cfg.get("max_epochs", 1)
 
     mesh = _mesh_from_cfg(trainer_cfg, batch_size)
+    # multi-host: each process reads a disjoint shard of batches
     sampler = LengthBucketBatchSampler(
         dataset.lengths, batch_size=batch_size,
         shuffle=dl_cfg.get("shuffle", True),
         drop_last=True,
         seed=trainer_cfg.get("seed", 0),
-        num_shards=1, shard_rank=0,
+        num_shards=jax.process_count(), shard_rank=jax.process_index(),
     )
     steps_per_epoch = max(len(sampler), 1)
     optimizer = build_optimizer(
@@ -197,6 +198,7 @@ def train_gan(
         dataset.lengths, batch_size=batch_size,
         shuffle=dl_cfg.get("shuffle", True), drop_last=True,
         seed=trainer_cfg.get("seed", 0),
+        num_shards=jax.process_count(), shard_rank=jax.process_index(),
     )
     steps_per_epoch = max(len(sampler), 1)
     optim_cfg = dict(model_cfg.get("optim", {}))

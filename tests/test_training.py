@@ -275,3 +275,37 @@ def test_tensor_parallel_fastpitch_step(fp_setup):
     assert len(qkv.sharding.device_set) >= 2
     state, metrics = trainer.run_epoch(state, [batch], epoch=0)
     assert np.isfinite(metrics["loss"])
+
+
+def test_noam_matches_nemo_formula():
+    """Golden values vs the reference NoamAnnealing math
+    (lr_schedulers.py:504): lr = init * d_model^-0.5 *
+    min(step^-0.5, step * warmup^-1.5), floored at min_lr."""
+    init, d_model, warmup, min_lr = 1e-3, 384, 1000, 1e-5
+    s = get_schedule(
+        "NoamAnnealing", initial_lr=init, d_model=d_model,
+        warmup_steps=warmup, min_lr=min_lr,
+    )
+    for step in [1, 10, 500, 1000, 5000, 100000]:
+        expected = max(
+            init * d_model ** -0.5 * min(step ** -0.5, step * warmup ** -1.5),
+            min_lr,
+        )
+        got = float(s(jnp.asarray(step - 1)))  # our schedules are 0-indexed
+        assert got == pytest.approx(expected, rel=1e-5), (step, got, expected)
+
+
+def test_cosine_matches_nemo_formula():
+    """CosineAnnealing after warmup: min + (init-min) * (1+cos(pi*p))/2."""
+    import math
+
+    init, min_lr, warmup, max_steps = 2e-4, 1e-5, 100, 1000
+    s = get_schedule(
+        "CosineAnnealing", initial_lr=init, max_steps=max_steps,
+        warmup_steps=warmup, min_lr=min_lr,
+    )
+    for step in [100, 250, 500, 900, 1000]:
+        p = (step - warmup) / (max_steps - warmup)
+        expected = min_lr + (init - min_lr) * (1 + math.cos(math.pi * p)) / 2
+        got = float(s(jnp.asarray(step)))
+        assert got == pytest.approx(expected, rel=1e-4), (step, got, expected)
