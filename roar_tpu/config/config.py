@@ -6,7 +6,7 @@ import copy
 import importlib
 import re
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence, Union
 
 import yaml
 

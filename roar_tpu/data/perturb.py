@@ -9,7 +9,7 @@ mixing from a manifest — as numpy host-side transforms composable via
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

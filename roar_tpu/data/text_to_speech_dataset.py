@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 
 from roar_tpu.data.audio import AudioSegment
-from roar_tpu.data.dataset import BucketSpec, TTSDataset
+from roar_tpu.data.dataset import TTSDataset
 from roar_tpu.data.featurizers import _feature_path
 from roar_tpu.data.manifest import filter_by_duration, read_manifest
 from roar_tpu.ops.priors import BetaBinomialInterpolator

@@ -9,11 +9,9 @@ scale (aligner.py:135-165).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from roar_tpu.config import instantiate

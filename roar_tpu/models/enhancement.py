@@ -10,11 +10,9 @@ The reference's RNN mask estimators become a conv + transformer stack
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from roar_tpu.losses.audio_losses import sdr_loss

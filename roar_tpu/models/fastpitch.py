@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from roar_tpu.models.aligner import AlignmentEncoder
-from roar_tpu.models.submodules import ConditionalInput, ConditionalLayerNorm, SpeakerEncoder
+from roar_tpu.models.submodules import ConditionalInput, ConditionalLayerNorm
 from roar_tpu.models.transformer import FFTransformerDecoder, FFTransformerEncoder
 from roar_tpu.ops.lengths import average_features, log_to_duration, regulate_len
 from roar_tpu.ops.mas import binarize_attention

@@ -11,7 +11,6 @@ training_step via FilterbankFeatures on GPU, models/fastpitch.py:404-416).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import jax

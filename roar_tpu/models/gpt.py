@@ -15,7 +15,7 @@ the cache is pre-allocated at `block_size`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

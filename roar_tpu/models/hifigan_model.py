@@ -10,7 +10,7 @@ through the predicted-audio branch for the L1 mel loss.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from roar_tpu.models.hifigan import (
     MultiPeriodDiscriminator,
     MultiScaleDiscriminator,
 )
-from roar_tpu.ops.spectrogram import MelConfig, log_mel_spectrogram
+from roar_tpu.ops.spectrogram import log_mel_spectrogram
 from roar_tpu.training.gan import GANTrainState, create_gan_state, make_gan_train_step
 
 

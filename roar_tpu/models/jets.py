@@ -18,7 +18,6 @@ from flax import linen as nn
 from roar_tpu.models.aligner import AlignmentEncoder
 from roar_tpu.models.fastpitch import AlignerConfig, FFTConfig, PredictorConfig, TemporalPredictor
 from roar_tpu.models.hifigan import Generator
-from roar_tpu.models.transformer import FFTransformerDecoder, FFTransformerEncoder
 from roar_tpu.ops.lengths import (
     average_features,
     log_to_duration,

@@ -15,7 +15,7 @@ adversarial optimization becomes the jitted alternating GAN step
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from roar_tpu.losses.hifigan_losses import (
     generator_loss,
     l1_mel_loss,
 )
-from roar_tpu.models.fastpitch import AlignerConfig, FFTConfig, PredictorConfig
+from roar_tpu.models.fastpitch import AlignerConfig
 from roar_tpu.models.fastpitch_model import (
     _fft_config,
     _predictor_config,

@@ -10,22 +10,19 @@ fed through the JETS conditioning pathway.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from roar_tpu.losses.fastpitch_losses import duration_loss, energy_loss, pitch_loss
+from roar_tpu.losses.fastpitch_losses import duration_loss, pitch_loss
 from roar_tpu.losses.hifigan_losses import discriminator_loss, feature_matching_loss, generator_loss
 from roar_tpu.losses.stft_losses import multi_resolution_mel_loss
 from roar_tpu.models.bigvgan import MultiResolutionDiscriminator
-from roar_tpu.models.hifigan import MultiPeriodDiscriminator
 from roar_tpu.models.jets import JETSModule
 from roar_tpu.models.jets_model import JETSModel
 from roar_tpu.models.submodules import GlobalStyleToken
 from roar_tpu.ops.forward_sum import bin_loss, forward_sum_loss
-from roar_tpu.ops.spectrogram import log_mel_spectrogram
 from flax import linen as nn
 
 

@@ -14,11 +14,10 @@ Spectrograms are treated as [B, n_mel, T, 1] images normalized to [0, 1]
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from roar_tpu.losses.enhancer_losses import (

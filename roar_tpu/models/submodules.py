@@ -12,7 +12,7 @@ natural layout for TPU convs and matmuls — unlike the reference's
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,11 +16,9 @@ monotonic_align (modules/monotonic_align/numba_core.py:23-66).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from roar_tpu.models.hifigan import Generator

@@ -13,7 +13,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from roar_tpu.config import instantiate
 from roar_tpu.losses.hifigan_losses import (

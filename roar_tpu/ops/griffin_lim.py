@@ -88,7 +88,7 @@ def griffin_lim(
     window: str = "hann",
 ) -> jnp.ndarray:
     """Magnitude spectrogram [B, F, T] -> audio via Griffin-Lim."""
-    from roar_tpu.ops.spectrogram import stft_magnitude, frame_signal, _windowed_dft_matrix, _reflect_pad_1d
+    from roar_tpu.ops.spectrogram import frame_signal, _windowed_dft_matrix, _reflect_pad_1d
 
     hop_length = hop_length or n_fft // 4
     win_length = win_length or n_fft

@@ -14,8 +14,6 @@ Layout: pitch bins padded to a lane multiple (640 for N=601); states are
 from __future__ import annotations
 
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ bottleneck modules compiled into the graph via `adapter_dim`
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax
 import optax

@@ -9,12 +9,10 @@ checkpointing, preemption, and profiler windows.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
-from roar_tpu.config import instantiate
 from roar_tpu.data import BucketSpec, LengthBucketBatchSampler, TTSDataset, VocoderDataset
 from roar_tpu.parallel import make_mesh, replicate, shard_batch
 from roar_tpu.training.exp_manager import ExpManager

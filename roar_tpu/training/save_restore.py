@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import io
 import tarfile
-import tempfile
-from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from roar_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
+from roar_tpu.parallel.mesh import replicate, shard_batch
 
 
 class TrainState(struct.PyTreeNode):

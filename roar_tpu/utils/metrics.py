@@ -7,7 +7,6 @@ streaming accumulator.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
 
 import jax.numpy as jnp
 
