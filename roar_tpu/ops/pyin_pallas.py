@@ -82,7 +82,8 @@ def _viterbi_kernel(
     # margins of the shift buffer stay -inf forever
     buf_ref[...] = jnp.full((B, NP + 2 * MARGIN), _NEG, jnp.float32)
 
-    obs_dma(1 % 2, 1).start()
+    if T > 1:
+        obs_dma(1, 1).start()
 
     def band(wvals, sel_u):
         """max over offsets of wvals[j+o-half] + float(tri[o]); returns
@@ -247,6 +248,11 @@ def banded_viterbi_decode_pallas(
     """
     b, t, n2 = log_obs.shape
     n = n2 // 2
+    if t < 3:
+        # degenerate sequences: the XLA scan path handles them directly
+        from roar_tpu.ops.pyin import banded_viterbi_decode
+
+        return banded_viterbi_decode(log_obs, cfg)
     np_ = _round_up(n, _LANE)
     w = cfg.transition_width
     log_tri_np, log_norm_np = _band_tables(n, w)
