@@ -1,0 +1,30 @@
+"""Train VITS end-to-end (working implementation; the reference's VITS model
+is unimportable in its tree).
+
+    python examples/tts/vits.py --config-name=vits_22050 \
+        train_dataset=train.json validation_datasets=val.json
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from roar_tpu.config.cli import config_runner
+from roar_tpu.data import BucketSpec
+from roar_tpu.models.vits_model import VITSModel
+from roar_tpu.training.run import build_tts_dataset, train_gan
+
+
+@config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
+               config_name="vits_22050")
+def main(cfg):
+    model = VITSModel(cfg["model"])
+    train_ds = build_tts_dataset(cfg["model"]["train_ds"]["dataset"], model.tokenizer)
+    val_cfg = (cfg["model"].get("validation_ds") or {}).get("dataset")
+    val_ds = build_tts_dataset(val_cfg, model.tokenizer) if val_cfg else None
+    train_gan(cfg, model, train_ds, val_ds, buckets=BucketSpec())
+
+
+if __name__ == "__main__":
+    main()
