@@ -18,9 +18,32 @@ class ConfigError(ValueError):
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 
 
+class _ConfigLoader(yaml.SafeLoader):
+    """SafeLoader with scientific-notation floats.
+
+    pyyaml follows YAML 1.1, where `1e-3` (no dot) parses as a STRING; that
+    silently poisons numeric config fields (e.g. optimizer lr).  This
+    resolver accepts the standard float forms.
+    """
+
+
+_ConfigLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def load_yaml(path: Union[str, Path]) -> Dict[str, Any]:
     with open(path, "r", encoding="utf-8") as f:
-        return yaml.safe_load(f) or {}
+        return yaml.load(f, Loader=_ConfigLoader) or {}
 
 
 def _get_path(cfg: Dict[str, Any], dotted: str):
@@ -50,7 +73,7 @@ def _set_path(cfg: Dict[str, Any], dotted: str, value: Any) -> None:
 
 
 def _parse_scalar(text: str) -> Any:
-    return yaml.safe_load(text)
+    return yaml.load(text, Loader=_ConfigLoader)
 
 
 def resolve_interpolations(cfg: Dict[str, Any], _root=None, _depth=0) -> Any:

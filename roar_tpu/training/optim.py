@@ -257,7 +257,12 @@ def build_optimizer(
     cfg = dict(optim_cfg or {})
     sched_cfg = cfg.pop("sched", None)
     name = cfg.pop("name", "adamw")
-    lr = cfg.pop("lr", 1e-3)
+    lr = float(cfg.pop("lr", 1e-3))
+    for k in ("weight_decay", "eps", "momentum"):
+        if k in cfg:
+            cfg[k] = float(cfg[k])
+    if "betas" in cfg:
+        cfg["betas"] = tuple(float(x) for x in cfg["betas"])
 
     if sched_cfg:
         sc = dict(sched_cfg)

@@ -190,3 +190,27 @@ def test_export_script_fastpitch(tmp_path):
     assert result.returncode == 0, result.stderr[-3000:]
     out_file = tmp_path / "exported" / "fastpitch.stablehlo"
     assert out_file.exists() and out_file.stat().st_size > 1000
+
+
+def test_yaml_scientific_notation_floats():
+    """pyyaml parses `1e-3` as a string by default; our loader must not."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        f.write("lr: 1e-3\nwd: 1e-6\nplain: 0.5\nexp_dot: 2.5e-4\nname: abc\n")
+        path = f.name
+    cfg = load_config(path)
+    assert isinstance(cfg["lr"], float) and cfg["lr"] == 1e-3
+    assert isinstance(cfg["wd"], float) and cfg["wd"] == 1e-6
+    assert cfg["exp_dot"] == 2.5e-4
+    assert cfg["name"] == "abc"
+
+    # the shipped fastpitch config yields float lr/weight_decay
+    c = load_config(
+        CONFIGS / "fastpitch_22050_align.yaml",
+        overrides=["train_dataset=x", "validation_datasets=x", "sup_data_path=x",
+                   "pitch_mean=200.0", "pitch_std=60.0"],
+    )
+    assert isinstance(c["model"]["optim"]["lr"], float)
+    assert isinstance(c["model"]["optim"]["weight_decay"], float)
+    assert isinstance(c["model"]["preprocessor"]["log_zero_guard_value"], float)
