@@ -214,3 +214,61 @@ def test_yaml_scientific_notation_floats():
     assert isinstance(c["model"]["optim"]["lr"], float)
     assert isinstance(c["model"]["optim"]["weight_decay"], float)
     assert isinstance(c["model"]["preprocessor"]["log_zero_guard_value"], float)
+
+
+def test_resynthesize_dataset_script(tmp_path):
+    """scripts/dataset_processing/tts/resynthesize_dataset.py writes mels."""
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.data import write_manifest
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.save_restore import save_to
+
+    cfg = {
+        "n_mel_channels": 16,
+        "symbols_embedding_dim": 32,
+        "text_tokenizer": {
+            "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+            "pad_with_space": True,
+        },
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "preprocessor": {"sample_rate": 22050, "features": 16, "n_window_size": 512,
+                         "n_window_stride": 128, "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    params = model.module.init(
+        {"params": jax.random.PRNGKey(0)}, tokens, max_mel_len=64,
+        method=model.module.infer,
+    )
+    bundle = tmp_path / "fp.roar"
+    save_to(str(bundle), {"target": "FastPitchModel", "model": cfg}, params)
+
+    man = tmp_path / "in.json"
+    write_manifest(man, [
+        {"audio_filepath": "none.wav", "text": "hello world", "duration": 1.0},
+        {"audio_filepath": "none2.wav", "text": "testing", "duration": 1.0},
+    ])
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts/dataset_processing/tts/resynthesize_dataset.py"),
+            "--fastpitch_model", str(bundle),
+            "--input_manifest", str(man),
+            "--output_dir", str(tmp_path / "resynth"),
+            "--max_mel_len", "64",
+        ],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    mels = list((tmp_path / "resynth" / "mels").glob("*.npy"))
+    assert len(mels) == 2
+    assert np.load(mels[0]).shape[0] == 16  # [n_mel, T]
+    assert (tmp_path / "resynth" / "manifest.json").exists()
