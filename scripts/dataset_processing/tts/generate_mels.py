@@ -2,7 +2,7 @@
 vocoder finetuning.
 
 Port of the reference scripts/dataset_processing/tts/generate_mels.py: loads
-a FastPitch bundle, runs the teacher-forced forward per manifest entry, and
+a FastPitch bundle, runs the teacher-forced forward per manifest batch, and
 writes predicted mels + an updated manifest with `mel_filepath`.
 """
 
@@ -13,10 +13,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from flax import serialization
 
 from roar_tpu.data import BucketSpec, TTSDataset
-from roar_tpu.data.manifest import read_manifest, write_manifest
+from roar_tpu.data.manifest import write_manifest
 from roar_tpu.models.fastpitch_model import FastPitchModel
 from roar_tpu.training.save_restore import restore_from
 
@@ -46,41 +48,37 @@ def main():
         n_mels=model.mel_cfg.nfilt,
         highfreq=model.mel_cfg.highfreq,
     )
-    example = ds.collate([ds[0]], BucketSpec())
+    buckets = BucketSpec()
+    example = ds.collate([ds[0]], buckets)
     template = jax.device_get(model.init_params(jax.random.PRNGKey(0), example))
-    from flax import serialization
-
-    params = serialization.from_state_dict(template, raw_params) if not isinstance(raw_params, dict) or "params" not in raw_params else raw_params
+    params = serialization.from_state_dict(template, raw_params)
 
     mel_dir = Path(args.mel_dir)
     mel_dir.mkdir(parents=True, exist_ok=True)
-    entries = read_manifest(args.input_manifest)
     out_entries = []
-    buckets = BucketSpec()
     for i in range(0, len(ds), args.batch_size):
         idxs = list(range(i, min(i + args.batch_size, len(ds))))
-        batch = ds.collate([ds[j] for j in idxs], buckets)
-        _, metrics_out = model.loss_fn(
-            params, {k: jax.numpy.asarray(v) for k, v in batch.items()},
-            None, 0, deterministic=True,
-        )
-        # teacher-forced spect: rerun forward to fetch the mel
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in ds.collate([ds[j] for j in idxs], buckets).items()
+        }
         spec, mel_lens = model._spec_from_batch(
-            jax.numpy.asarray(batch["audio"]), jax.numpy.asarray(batch["audio_len"]), batch
+            batch["audio"], batch["audio_len"], batch
         )
         out = model.module.apply(
             params,
-            jax.numpy.asarray(batch["text"]),
-            pitch=jax.numpy.asarray(batch["pitch"]) if "pitch" in batch else None,
+            batch["text"],
+            pitch=batch.get("pitch"),
+            speaker=batch.get("speaker_id"),
             spec=spec,
-            attn_prior=jax.numpy.asarray(batch.get("align_prior_matrix")),
+            attn_prior=batch.get("align_prior_matrix"),
             mel_lens=mel_lens,
-            input_lens=jax.numpy.asarray(batch["text_len"]),
+            input_lens=batch["text_len"],
         )
         spect = np.asarray(out["spect"])
         lens = np.asarray(mel_lens)
         for k, j in enumerate(idxs):
-            entry = dict(entries[j])
+            entry = dict(ds.entries[j])
             fid = ds.file_id(entry)
             path = mel_dir / f"{fid}.npy"
             np.save(path, spect[k, : int(lens[k])].T)  # [n_mel, T]

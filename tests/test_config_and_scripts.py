@@ -272,3 +272,82 @@ def test_resynthesize_dataset_script(tmp_path):
     assert len(mels) == 2
     assert np.load(mels[0]).shape[0] == 16  # [n_mel, T]
     assert (tmp_path / "resynth" / "manifest.json").exists()
+
+
+def test_generate_mels_script(tmp_path):
+    """scripts/dataset_processing/tts/generate_mels.py writes GTA mels +
+    manifest with mel_filepath (reference generate_mels.py parity)."""
+    import jax
+
+    from roar_tpu.data import BucketSpec, TTSDataset, write_manifest, write_wav
+    from roar_tpu.data.manifest import read_manifest
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.save_restore import save_to
+
+    sr = 22050
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    entries = []
+    for i in range(2):
+        t = np.arange(int(sr * 0.4)) / sr
+        x = (0.4 * np.sin(2 * np.pi * (160 + 20 * i) * t)).astype(np.float32)
+        p = wav_dir / f"g{i}.wav"
+        write_wav(str(p), x, sr)
+        entries.append({"audio_filepath": str(p), "text": "hi there", "duration": 0.4})
+    man = tmp_path / "in.json"
+    write_manifest(man, entries)
+
+    cfg = {
+        "n_mel_channels": 16,
+        "symbols_embedding_dim": 32,
+        "text_tokenizer": {
+            "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+            "pad_with_space": True,
+        },
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "preprocessor": {"sample_rate": sr, "features": 16, "n_window_size": 512,
+                         "n_window_stride": 128, "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    # params from the TRAINING-mode init (teacher-forced apply needs the
+    # aligner params, which the infer path never touches)
+    ds = TTSDataset(
+        manifest_filepath=str(man),
+        sample_rate=sr,
+        text_tokenizer=model.tokenizer,
+        sup_data_path=str(tmp_path / "sup"),
+        sup_data_types=["align_prior_matrix", "pitch"],
+        n_fft=512, win_length=512, hop_length=128, n_mels=16,
+    )
+    example = ds.collate([ds[0]], BucketSpec())
+    params = model.init_params(jax.random.PRNGKey(0), example)
+    bundle = tmp_path / "fp.roar"
+    save_to(str(bundle), {"target": "FastPitchModel", "model": cfg}, params)
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts/dataset_processing/tts/generate_mels.py"),
+            "--fastpitch_model", str(bundle),
+            "--input_manifest", str(man),
+            "--output_manifest", str(tmp_path / "out.json"),
+            "--mel_dir", str(tmp_path / "mels"),
+            "--sup_data_path", str(tmp_path / "sup"),
+            "--batch_size", "2",
+        ],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out_entries = read_manifest(tmp_path / "out.json")
+    assert len(out_entries) == 2
+    for e in out_entries:
+        mel = np.load(e["mel_filepath"])
+        assert mel.shape[0] == 16  # [n_mel, T]
+        assert mel.shape[1] > 10
+        assert np.isfinite(mel).all()
