@@ -10,4 +10,4 @@ from roar_tpu.data.sup_data import (  # noqa: F401
     SupDataExtractor,
     pitch_statistics,
 )
-from roar_tpu.data import tokenizers  # noqa: F401
+from roar_tpu.data import ipa_lexicon, tokenizers  # noqa: F401

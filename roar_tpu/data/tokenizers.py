@@ -15,14 +15,73 @@ which raises TypeError — we implement the evidently intended behavior
 
 from __future__ import annotations
 
+import re
 import string
 import unicodedata
 import warnings
 from typing import List, Optional, Sequence, Tuple
 
+from roar_tpu.data.ipa_lexicon import (
+    get_ipa_character_set,
+    get_ipa_punctuation_list,
+    validate_locale,
+)
+
 # Derived from LJSpeech (tokenizer_utils.py:18-22)
 _SYNOGLYPHS = {"'": ["’"], '"': ["”", "“"]}
 SYNOGLYPH2ASCII = {g: a for a, gs in _SYNOGLYPHS.items() for g in gs}
+
+# https://en.wikipedia.org/wiki/List_of_Unicode_characters (tokenizer_utils.py:33-36)
+LATIN_ALPHABET_BASIC = "A-Za-z"
+ACCENTED_CHARS = "À-ÖØ-öø-ÿ"
+LATIN_CHARS_ALL = LATIN_ALPHABET_BASIC + ACCENTED_CHARS
+
+
+def _words_re(charset: str) -> re.Pattern:
+    """Three alternatives per match: a word, a |literal span|, or a run of
+    punctuation/whitespace (tokenizer_utils.py:24-42)."""
+    return re.compile(
+        rf"([{charset}]+(?:[{charset}\-']*[{charset}]+)*)"
+        rf"|(\|[^|]*\|)"
+        rf"|([^{charset}|]+)"
+    )
+
+
+_WORDS_RE_EN = _words_re(LATIN_ALPHABET_BASIC)
+_WORDS_RE_ANY_LOCALE = _words_re(LATIN_CHARS_ALL)
+
+
+def _word_tokenize(matches, is_lower: bool = False) -> List[Tuple[List[str], bool]]:
+    """(word, |unchanged|, punct) regex groups -> [(tokens, is_unchanged)].
+    Spans wrapped in `|...|` pass through G2P untouched
+    (tokenizer_utils.py:121-182)."""
+    out: List[Tuple[List[str], bool]] = []
+    for word, unchanged, punct in matches:
+        if word:
+            out.append(([word.lower() if is_lower else word], False))
+        elif punct:
+            out.append(([punct], False))
+        elif unchanged:
+            out.append((unchanged[1:-1].split(" "), True))
+        else:
+            raise ValueError("Empty match — check the word regex")
+    return out
+
+
+def english_word_tokenize(text: str) -> List[Tuple[List[str], bool]]:
+    return _word_tokenize(_WORDS_RE_EN.findall(text), is_lower=True)
+
+
+def any_locale_word_tokenize(text: str) -> List[Tuple[List[str], bool]]:
+    return _word_tokenize(_WORDS_RE_ANY_LOCALE.findall(text))
+
+
+def spanish_text_preprocessing(text: str) -> str:
+    return text.lower()
+
+
+def chinese_text_preprocessing(text: str) -> str:
+    return text
 
 
 def normalize_unicode_text(text: str) -> str:
@@ -300,3 +359,64 @@ class EnglishCharsTokenizer(BaseCharsTokenizer):
             non_default_punct_list=non_default_punct_list,
             text_preprocessing_func=text_preprocessing_func,
         )
+
+
+class IPACharsTokenizer(BaseCharsTokenizer):
+    """Char tokenizer over a locale's IPA phoneme inventory.
+
+    The reference's IPA tokenizer variants are commented out in its tree
+    (tts_tokenizers.py:7-11 imports from ipa_lexicon are disabled); this is a
+    working equivalent: input text is assumed to already be IPA symbols
+    (i.e. post-G2P), tokenized per codepoint against
+    `ipa_lexicon.IPA_CHARACTER_SETS[locale]` plus the locale punctuation from
+    `get_ipa_punctuation_list`.
+    """
+
+    def __init__(
+        self,
+        locale: str = "en-US",
+        punct: bool = True,
+        apostrophe: bool = True,
+        add_blank_at: Optional[str] = None,
+        pad_with_space: bool = False,
+        non_default_punct_list: Optional[Sequence[str]] = None,
+        text_preprocessing_func=any_locale_text_preprocessing,
+    ):
+        validate_locale(locale)
+        self.locale = locale
+        chars = sorted(get_ipa_character_set(locale))
+        if non_default_punct_list is None and punct:
+            non_default_punct_list = get_ipa_punctuation_list(locale)
+        super().__init__(
+            chars=chars,
+            punct=punct,
+            apostrophe=apostrophe,
+            add_blank_at=add_blank_at,
+            pad_with_space=pad_with_space,
+            non_default_punct_list=non_default_punct_list,
+            text_preprocessing_func=text_preprocessing_func,
+        )
+
+    def encode(self, text: str) -> List[int]:
+        # IPA symbols are mostly non-alnum (ə, ʃ, combining marks), so the
+        # base class's isalnum() gate is replaced by direct set membership.
+        cs: List[str] = []
+        space = self.tokens[self.space]
+        tokens = set(self.tokens)
+        text = self.text_preprocessing_func(text)
+        for c in text:
+            if c == space and len(cs) > 0 and cs[-1] != space:
+                cs.append(c)
+            elif c in tokens and c != space:
+                cs.append(c)
+            elif c in self.PUNCT_LIST and self.punct:
+                cs.append(c)
+            elif c != space:
+                warnings.warn(
+                    f"Text: [{text}] contains unknown char: [{c}]. Symbol will be skipped."
+                )
+        while cs and cs[-1] == space:
+            cs.pop()
+        if self.pad_with_space:
+            cs = [space] + cs + [space]
+        return [self._token2id[p] for p in cs]

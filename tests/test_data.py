@@ -72,6 +72,61 @@ def test_whitespace_collapsing_and_trailing_strip():
     assert tok.decode(tok.encode("a   b  ")) == "a b"
 
 
+def test_ipa_lexicon_tables():
+    from roar_tpu.data import ipa_lexicon as L
+
+    assert L.get_grapheme_character_set("en-US", "lower") == "abcdefghijklmnopqrstuvwxyz"
+    assert "Ä" in L.get_grapheme_character_set("de-DE", "upper")
+    # mixed = upper + lower, ß handled without the SS expansion
+    mixed = L.get_grapheme_character_set("de-DE", "mixed")
+    assert "ẞ" in mixed and "ß" in mixed and "SS" not in mixed
+    assert "ə" in L.get_ipa_character_set("en-US")
+    assert "¿" in L.get_ipa_punctuation_list("es-ES")
+    assert "„" in L.get_ipa_punctuation_list("de-DE")
+    with pytest.raises(ValueError):
+        L.validate_locale("fr-FR")
+
+
+def test_ipa_tokenizer_roundtrip():
+    from roar_tpu.data.tokenizers import IPACharsTokenizer
+
+    tok = IPACharsTokenizer(locale="en-US", pad_with_space=True)
+    with pytest.warns(UserWarning):  # stress mark not in inventory -> skipped
+        ids = tok.encode("həˈloʊ wɜrld")
+    assert tok.decode(ids).strip() == "həloʊ wɜrld"
+    # punctuation from the locale list
+    ids2 = tok.encode("əmeɪzɪŋ!")
+    assert tok.decode(ids2).strip().endswith("!")
+
+
+def test_word_tokenize_unchanged_spans():
+    from roar_tpu.data.tokenizers import (
+        any_locale_word_tokenize,
+        english_word_tokenize,
+    )
+
+    out = english_word_tokenize("Hello |NVIDIA unchanged| World!")
+    assert (["hello"], False) in out
+    assert (["NVIDIA", "unchanged"], True) in out
+    assert (["world"], False) in out
+    # any-locale keeps case and handles accents as word chars
+    out2 = any_locale_word_tokenize("Ö l")
+    assert out2[0] == (["Ö"], False)
+
+
+def test_sentencepiece_gate():
+    """Without the sentencepiece package the wrapper raises a clear
+    ImportError (the package is not in this image)."""
+    from roar_tpu.data import sentencepiece_tokenizer as sp
+
+    if sp._spm is None:
+        with pytest.raises(ImportError, match="sentencepiece"):
+            sp.SentencePieceTokenizer("/nonexistent.model")
+    else:  # pragma: no cover
+        with pytest.raises(ValueError, match="invalid"):
+            sp.SentencePieceTokenizer("/nonexistent.model")
+
+
 # ---------------------------------------------------------------------------
 # Audio IO
 # ---------------------------------------------------------------------------
