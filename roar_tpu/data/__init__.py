@@ -1,6 +1,12 @@
 """Data pipeline: manifests, tokenizers, audio IO, sup-data, datasets."""
 
 from roar_tpu.data.audio import AudioSegment, read_wav, resample, trim_silence, write_wav  # noqa: F401
+from roar_tpu.data.audio_trimming import (  # noqa: F401
+    AudioTrimmer,
+    EnergyAudioTrimmer,
+    VadAudioTrimmer,
+    normalize_volume,
+)
 from roar_tpu.data.dataset import BucketSpec, TTSDataset, VocoderDataset  # noqa: F401
 from roar_tpu.data.manifest import filter_by_duration, read_manifest, write_manifest  # noqa: F401
 from roar_tpu.data.sampling import LengthBucketBatchSampler, weighted_indices  # noqa: F401

@@ -11,22 +11,25 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
 
-import numpy as np
-
 from roar_tpu.data.audio import AudioSegment, write_wav
+from roar_tpu.data.audio_trimming import (
+    EnergyAudioTrimmer,
+    VadAudioTrimmer,
+    normalize_volume,
+)
 from roar_tpu.data.manifest import read_manifest, write_manifest
 
 
-def normalize_volume(audio: np.ndarray, volume_level: float) -> np.ndarray:
-    """Peak normalization (tts_dataset_utils.py:54-66)."""
-    if not (0.0 <= volume_level <= 1.0):
-        raise ValueError(f"Volume must be in range [0.0, 1.0], got {volume_level}")
-    if audio.size == 0:
-        return audio
-    peak = np.max(np.abs(audio))
-    if peak == 0:
-        return audio
-    return volume_level * (audio / peak)
+def build_trimmer(args):
+    if args.trimmer == "energy":
+        return EnergyAudioTrimmer(
+            db_threshold=int(args.trim_db), pad_seconds=args.pad_seconds
+        )
+    if args.trimmer == "vad":
+        return VadAudioTrimmer(
+            vad_threshold=args.vad_threshold, pad_seconds=args.pad_seconds
+        )
+    return None
 
 
 def main():
@@ -35,23 +38,33 @@ def main():
     p.add_argument("--output_manifest", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--sample_rate", type=int, default=22050)
-    p.add_argument("--trim", action="store_true")
-    p.add_argument("--trim_db", type=float, default=60.0)
+    p.add_argument("--trim", action="store_true", help="alias for --trimmer=energy")
+    p.add_argument("--trimmer", choices=["none", "energy", "vad"], default="none")
+    p.add_argument("--trim_db", type=float, default=50.0)
+    p.add_argument("--vad_threshold", type=float, default=0.5)
+    p.add_argument("--pad_seconds", type=float, default=0.1)
     p.add_argument("--volume_level", type=float, default=0.95)
     p.add_argument("--min_duration", type=float, default=0.0)
     p.add_argument("--max_duration", type=float, default=float("inf"))
     args = p.parse_args()
+    if args.trim and args.trimmer == "none":
+        args.trimmer = "energy"
+    trimmer = build_trimmer(args)
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     entries = read_manifest(args.input_manifest)
     kept = []
     for e in entries:
-        seg = AudioSegment.from_file(
-            e["audio_filepath"], target_sr=args.sample_rate,
-            trim=args.trim, trim_db=args.trim_db,
-        )
-        audio = normalize_volume(seg.samples, args.volume_level)
+        seg = AudioSegment.from_file(e["audio_filepath"], target_sr=args.sample_rate)
+        audio = seg.samples
+        if trimmer is not None:
+            audio, _, _ = trimmer.trim_audio(
+                audio, args.sample_rate, audio_id=e["audio_filepath"]
+            )
+            if audio.size == 0:
+                continue
+        audio = normalize_volume(audio, args.volume_level)
         dur = len(audio) / args.sample_rate
         if not (args.min_duration <= dur <= args.max_duration):
             continue

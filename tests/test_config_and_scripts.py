@@ -274,6 +274,44 @@ def test_resynthesize_dataset_script(tmp_path):
     assert (tmp_path / "resynth" / "manifest.json").exists()
 
 
+def test_preprocess_audio_script(tmp_path):
+    """preprocess_audio.py trims + normalizes and rewrites the manifest."""
+    from roar_tpu.data import write_manifest, write_wav
+    from roar_tpu.data.manifest import read_manifest
+
+    sr = 22050
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    sil = np.zeros(sr // 2, np.float32)
+    t = np.arange(sr) / sr
+    tone = (0.25 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    p = wav_dir / "a.wav"
+    write_wav(str(p), np.concatenate([sil, tone, sil]), sr)
+    man = tmp_path / "in.json"
+    write_manifest(man, [{"audio_filepath": str(p), "text": "x", "duration": 2.0}])
+
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts/dataset_processing/tts/preprocess_audio.py"),
+            "--input_manifest", str(man),
+            "--output_manifest", str(tmp_path / "out.json"),
+            "--output_dir", str(tmp_path / "proc"),
+            "--trimmer", "vad",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = read_manifest(tmp_path / "out.json")
+    assert len(out) == 1
+    # two seconds in, ~1s of speech (+pads) out, peak-normalized
+    assert 0.9 <= out[0]["duration"] <= 1.5
+    from roar_tpu.data import read_wav
+
+    audio, _ = read_wav(out[0]["audio_filepath"])
+    assert 0.9 <= np.abs(audio).max() <= 1.0
+
+
 def test_generate_mels_script(tmp_path):
     """scripts/dataset_processing/tts/generate_mels.py writes GTA mels +
     manifest with mel_filepath (reference generate_mels.py parity)."""

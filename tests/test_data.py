@@ -114,6 +114,60 @@ def test_word_tokenize_unchanged_spans():
     assert out2[0] == (["Ö"], False)
 
 
+def test_energy_audio_trimmer():
+    from roar_tpu.data.audio_trimming import EnergyAudioTrimmer
+
+    sr = 22050
+    sil = np.zeros(sr // 2, np.float32)
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    audio = np.concatenate([sil, tone, sil])
+    trimmer = EnergyAudioTrimmer(db_threshold=40, pad_seconds=0.05)
+    trimmed, start, end = trimmer.trim_audio(audio, sr, "t")
+    # speech span recovered within pad + one hop of the true boundaries
+    slack = int(0.05 * sr) + 2048
+    assert abs(start - len(sil)) <= slack
+    assert abs(end - (len(sil) + len(tone))) <= slack
+    assert trimmed.shape[0] == end - start
+
+
+def test_vad_audio_trimmer():
+    from roar_tpu.data.audio_trimming import VadAudioTrimmer
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    # quiet broadband noise floor (flat spectrum) around a tonal segment
+    noise = (0.002 * rng.standard_normal(sr // 2)).astype(np.float32)
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    audio = np.concatenate([noise, tone, noise])
+    trimmer = VadAudioTrimmer(pad_seconds=0.05)
+    trimmed, start, end = trimmer.trim_audio(audio, sr, "t")
+    slack = int(0.05 * sr) + int(4096 * sr / 16000) + 2
+    assert abs(start - len(noise)) <= slack
+    assert abs(end - (len(noise) + len(tone))) <= slack
+    # all-silence input -> empty with a warning
+    with pytest.warns(UserWarning):
+        empty, s, e = trimmer.trim_audio(np.zeros(sr, np.float32), sr, "sil")
+    assert empty.size == 0 and (s, e) == (0, 0)
+
+
+def test_speech_frame_boundaries():
+    from roar_tpu.data.audio_trimming import (
+        get_start_and_end_of_speech_frames,
+        pad_sample_indices,
+    )
+
+    is_speech = np.array([0, 1, 0, 1, 1, 1, 0, 1, 0], bool)
+    # threshold 2: first run of 2 starts at 3, last run ends at 6
+    assert get_start_and_end_of_speech_frames(is_speech, 2) == (3, 6)
+    # threshold 1: single frames count
+    assert get_start_and_end_of_speech_frames(is_speech, 1) == (1, 8)
+    with pytest.warns(UserWarning):
+        assert get_start_and_end_of_speech_frames(np.zeros(5, bool), 1) == (0, 0)
+    assert pad_sample_indices(100, 200, 250, 100, 0.6) == (40, 250)
+
+
 def test_sentencepiece_gate():
     """Without the sentencepiece package the wrapper raises a clear
     ImportError (the package is not in this image)."""
