@@ -27,9 +27,19 @@ import orbax.checkpoint as ocp
 
 
 class MetricsLogger:
-    """JSONL metrics log + optional TensorBoard."""
+    """JSONL metrics log + optional TensorBoard + optional Weights&Biases.
 
-    def __init__(self, log_dir: Path, use_tensorboard: bool = True):
+    Mirrors the reference logger fan-out (exp_manager.py:394-418): JSONL is
+    always on; TB and W&B are enabled per flag and degrade to no-ops when
+    the packages are missing (wandb is not in this image)."""
+
+    def __init__(
+        self,
+        log_dir: Path,
+        use_tensorboard: bool = True,
+        use_wandb: bool = False,
+        wandb_kwargs: Optional[Dict] = None,
+    ):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a", encoding="utf-8")
@@ -41,6 +51,16 @@ class MetricsLogger:
                 self._tb = SummaryWriter(str(self.log_dir / "tb"))
             except Exception:
                 self._tb = None
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb  # type: ignore
+
+                kw = dict(wandb_kwargs or {})
+                kw.setdefault("dir", str(self.log_dir))
+                self._wandb = wandb.init(**kw)
+            except Exception:
+                self._wandb = None
 
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         rec = {"step": step, "time": time.time()}
@@ -50,11 +70,15 @@ class MetricsLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class PreemptionHandler:
@@ -90,6 +114,8 @@ class ExpManager:
     resume_ignore_no_checkpoint: bool = True
     max_to_keep: int = 3
     use_tensorboard: bool = True
+    use_wandb: bool = False
+    wandb_kwargs: Optional[Dict] = None
     max_time_seconds: Optional[float] = None
 
     def __post_init__(self):
@@ -98,7 +124,9 @@ class ExpManager:
             self.root = self.root / self.version
         self.root.mkdir(parents=True, exist_ok=True)
         self.ckpt_dir = self.root / "checkpoints"
-        self.logger = MetricsLogger(self.root, self.use_tensorboard)
+        self.logger = MetricsLogger(
+            self.root, self.use_tensorboard, self.use_wandb, self.wandb_kwargs
+        )
         self._ckpt_mgr = ocp.CheckpointManager(
             self.ckpt_dir.absolute(),
             options=ocp.CheckpointManagerOptions(

@@ -134,6 +134,8 @@ def train_supervised(
         version=exp_cfg.get("version"),
         resume_if_exists=exp_cfg.get("resume_if_exists", False),
         use_tensorboard=exp_cfg.get("create_tensorboard_logger", True),
+        use_wandb=exp_cfg.get("create_wandb_logger", False),
+        wandb_kwargs=exp_cfg.get("wandb_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
     )
     profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
@@ -222,6 +224,8 @@ def train_gan(
         version=exp_cfg.get("version"),
         resume_if_exists=exp_cfg.get("resume_if_exists", False),
         use_tensorboard=exp_cfg.get("create_tensorboard_logger", True),
+        use_wandb=exp_cfg.get("create_wandb_logger", False),
+        wandb_kwargs=exp_cfg.get("wandb_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
     )
 
