@@ -192,6 +192,41 @@ def test_fastpitch_trains_and_loss_decreases(fp_setup, tmp_path):
     assert 0 < int(lens[0]) <= 256
 
 
+def test_maybe_resume_restores_into_fresh_run(tmp_path):
+    """resume_if_exists picks up the latest checkpoint in a new process
+    (exp_manager.py:530-618 semantics), on a tiny quadratic task."""
+    opt = build_optimizer({"name": "adam", "lr": 0.1})
+
+    def loss_fn(p, b, rng, epoch):
+        l = jnp.sum((p["w"] - b["target"]) ** 2)
+        return l, {"loss": l}
+
+    trainer = Trainer(loss_fn=loss_fn, optimizer=opt)
+    batch = {"target": jnp.full((4,), 3.0)}
+    state = trainer.init_state({"w": jnp.zeros((4,))})
+    exp = ExpManager(exp_dir=str(tmp_path / "exp"), name="q", use_tensorboard=False)
+    for epoch in range(3):
+        state, metrics = trainer.run_epoch(state, [batch], epoch=epoch, logger=exp.logger)
+    exp.save(state, metrics)
+    exp.close()
+
+    # fresh manager + fresh state, as after preemption
+    exp2 = ExpManager(
+        exp_dir=str(tmp_path / "exp"), name="q",
+        use_tensorboard=False, resume_if_exists=True,
+    )
+    fresh = trainer.init_state({"w": jnp.zeros((4,))})
+    resumed, start_step = exp2.maybe_resume(fresh)
+    assert start_step == 3
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["w"]), np.asarray(jax.device_get(state).params["w"])
+    )
+    # and training continues from there
+    resumed, m = trainer.run_epoch(resumed, [batch], epoch=3, logger=exp2.logger)
+    assert int(jax.device_get(resumed.step)) == 4
+    exp2.close()
+
+
 def test_roar_bundle_roundtrip(fp_setup, tmp_path):
     model, ds, batch = fp_setup
     params = model.init_params(jax.random.PRNGKey(1), batch)
