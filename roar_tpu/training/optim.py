@@ -273,6 +273,16 @@ def build_optimizer(
             sc.pop("max_steps", None)
         if max_steps is None and steps_per_epoch is not None and max_epochs is not None:
             max_steps = compute_max_steps(max_epochs, steps_per_epoch)
+        # warmup_ratio -> warmup_steps (lr_schedulers.py:459-478 semantics)
+        if sc.get("warmup_ratio") is not None:
+            if max_steps is None:
+                raise ValueError("warmup_ratio requires max_steps to be resolvable")
+            sc["warmup_steps"] = int(float(sc.pop("warmup_ratio")) * max_steps)
+        else:
+            sc.pop("warmup_ratio", None)
+        for k in ("min_lr", "decay_rate", "power"):
+            if k in sc:
+                sc[k] = float(sc[k])
         learning_rate = get_schedule(sname, initial_lr=lr, max_steps=max_steps, **sc)
     else:
         learning_rate = lr

@@ -115,6 +115,7 @@ def train_supervised(
         model_cfg.get("optim", {}),
         steps_per_epoch=steps_per_epoch,
         max_epochs=max_epochs,
+        max_steps=model_cfg.get("max_steps") or trainer_cfg.get("max_steps"),
         gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
     )
 
@@ -204,11 +205,6 @@ def train_gan(
     optim_cfg = dict(model_cfg.get("optim", {}))
     optim_cfg.pop("_target_", None)
     max_steps = model_cfg.get("max_steps") or trainer_cfg.get("max_steps")
-    sched = optim_cfg.get("sched")
-    if sched and sched.get("warmup_ratio") is not None and max_steps:
-        sched = dict(sched)
-        sched["warmup_steps"] = int(sched.pop("warmup_ratio") * max_steps)
-        optim_cfg["sched"] = sched
     g_opt = build_optimizer(
         optim_cfg, steps_per_epoch=steps_per_epoch, max_epochs=max_epochs,
         max_steps=max_steps, gradient_clip_val=trainer_cfg.get("gradient_clip_val"),

@@ -43,6 +43,36 @@ def test_cosine_annealing_endpoints():
     assert float(s(jnp.asarray(550))) == pytest.approx(0.55, abs=0.01)
 
 
+def test_build_optimizer_warmup_ratio():
+    """warmup_ratio resolves against max_steps (aligner.yaml:81,
+    hifigan_22050.yaml:83 use it); regression: train_supervised path used
+    to crash with an unexpected kwarg."""
+    opt = build_optimizer(
+        {
+            "name": "adamw",
+            "lr": "1e-3",  # also exercise string-float coercion
+            "sched": {"name": "CosineAnnealing", "warmup_ratio": 0.1, "min_lr": "1e-5"},
+        },
+        max_steps=1000,
+    )
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    # and via steps_per_epoch * max_epochs when max_steps isn't given
+    opt2 = build_optimizer(
+        {"name": "adam", "lr": 1e-3,
+         "sched": {"name": "CosineAnnealing", "warmup_ratio": 0.5}},
+        steps_per_epoch=10, max_epochs=10,
+    )
+    assert opt2.init(params) is not None
+    with pytest.raises(ValueError, match="warmup_ratio"):
+        build_optimizer(
+            {"name": "adam", "lr": 1e-3,
+             "sched": {"name": "NoamAnnealing", "warmup_ratio": 0.5}},
+        )
+
+
 def test_build_optimizer_from_reference_cfg():
     opt = build_optimizer(
         {
