@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -86,11 +87,16 @@ class AlignerModel:
 
     def init_params(self, rng, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        spec, _ = self._spec(batch)
-        return self.net.init(
-            rng, spec, batch["text"], batch["text_len"],
-            batch.get("align_prior_matrix"),
-        )
+
+        @jax.jit  # one program; eager init is pathological over remote dispatch
+        def _init(rng, batch):
+            spec, _ = self._spec(batch)
+            return self.net.init(
+                rng, spec, batch["text"], batch["text_len"],
+                batch.get("align_prior_matrix"),
+            )
+
+        return _init(rng, batch)
 
     def loss_fn(self, params, batch, rng=None, epoch: int = 0, deterministic: bool = True):
         spec, mel_lens = self._spec(batch)

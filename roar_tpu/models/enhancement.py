@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -104,10 +105,15 @@ class EncMaskDecEnhancementModel:
 
     def init_params(self, rng, batch):
         audio = jnp.asarray(batch["input_signal"])
-        re, im = self.encode(audio)
-        feats = jnp.swapaxes(jnp.log1p(jnp.sqrt(re * re + im * im)), 1, 2)
-        fmask = jnp.ones(feats.shape[:2] + (1,), feats.dtype)
-        return self.mask_estimator.init(rng, feats, fmask)
+
+        @jax.jit  # one program; eager init is pathological over remote dispatch
+        def _init(rng, audio):
+            re, im = self.encode(audio)
+            feats = jnp.swapaxes(jnp.log1p(jnp.sqrt(re * re + im * im)), 1, 2)
+            fmask = jnp.ones(feats.shape[:2] + (1,), feats.dtype)
+            return self.mask_estimator.init(rng, feats, fmask)
+
+        return _init(rng, audio)
 
     def loss_fn(self, params, batch, rng=None, epoch: int = 0, deterministic: bool = False):
         est = self.forward(

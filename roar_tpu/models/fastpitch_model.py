@@ -177,22 +177,27 @@ class FastPitchModel:
 
     def init_params(self, rng: jax.Array, batch: Dict[str, np.ndarray]):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        spec, mel_lens = self._spec_from_batch(
-            batch["audio"], batch["audio_len"], batch
-        )
-        return self.module.init(
-            {"params": rng},
-            jnp.asarray(batch["text"]),
-            pitch=jnp.asarray(batch["pitch"]) if "pitch" in batch else None,
-            energy=jnp.asarray(batch["energy"]) if "energy" in batch else None,
-            speaker=jnp.asarray(batch["speaker_id"]) if "speaker_id" in batch else None,
-            spec=spec,
-            attn_prior=jnp.asarray(batch.get("align_prior_matrix"))
-            if "align_prior_matrix" in batch
-            else None,
-            mel_lens=mel_lens,
-            input_lens=jnp.asarray(batch["text_len"]),
-        )
+
+        # one jitted program (eager init dispatches every tiny op separately,
+        # pathological on remote-dispatch backends)
+        @jax.jit
+        def _init(rng, batch):
+            spec, mel_lens = self._spec_from_batch(
+                batch["audio"], batch["audio_len"], batch
+            )
+            return self.module.init(
+                {"params": rng},
+                batch["text"],
+                pitch=batch.get("pitch"),
+                energy=batch.get("energy"),
+                speaker=batch.get("speaker_id"),
+                spec=spec,
+                attn_prior=batch.get("align_prior_matrix"),
+                mel_lens=mel_lens,
+                input_lens=batch["text_len"],
+            )
+
+        return _init(rng, batch)
 
     def loss_fn(
         self,

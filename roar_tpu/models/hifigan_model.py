@@ -66,14 +66,22 @@ class HifiGanModel:
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, batch: Dict[str, np.ndarray]):
-        audio = jnp.asarray(batch["audio"])
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        mel = self._input_mel(batch)
-        r1, r2, r3 = jax.random.split(rng, 3)
-        g_params = self.generator.init(r1, mel)
-        fake = self.generator.apply(g_params, mel)
-        mpd_params = self.mpd.init(r2, audio, fake)
-        msd_vars = self.msd.init(r3, audio, fake)
+
+        # one jitted program: eager init would dispatch each tiny init op
+        # separately, which is pathological on remote-dispatch backends
+        @jax.jit
+        def _init(rng, batch):
+            audio = batch["audio"]
+            mel = self._input_mel(batch)
+            r1, r2, r3 = jax.random.split(rng, 3)
+            g_params = self.generator.init(r1, mel)
+            fake = self.generator.apply(g_params, mel)
+            mpd_params = self.mpd.init(r2, audio, fake)
+            msd_vars = self.msd.init(r3, audio, fake)
+            return g_params, mpd_params, msd_vars
+
+        g_params, mpd_params, msd_vars = _init(rng, batch)
         d_params = {
             "mpd": mpd_params["params"],
             "msd": msd_vars["params"],

@@ -244,23 +244,29 @@ class JETSModel:
     # ------------------------------------------------------------------
     def init_params(self, rng, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        r1, r2, r3, r4 = jax.random.split(rng, 4)
-        spec, mel_lens = self._spec_from_batch(batch)
-        g_params = self.module.init(
-            {"params": r1, "segments": r4},
-            batch["text"],
-            pitch=batch.get("pitch"),
-            energy=batch.get("energy"),
-            speaker=batch.get("speaker_id"),
-            spec=spec if self.learn_alignment else None,
-            attn_prior=batch.get("align_prior_matrix"),
-            mel_lens=mel_lens,
-            input_lens=batch["text_len"],
-        )
-        seg = self.segment_size * self.hop_length
-        fake = jnp.zeros((batch["audio"].shape[0], seg), jnp.float32)
-        mpd_params = self.mpd.init(r2, fake, fake)
-        msd_vars = self.msd.init(r3, fake, fake)
+
+        @jax.jit  # one program; eager init is pathological over remote dispatch
+        def _init(rng, batch):
+            r1, r2, r3, r4 = jax.random.split(rng, 4)
+            spec, mel_lens = self._spec_from_batch(batch)
+            g_params = self.module.init(
+                {"params": r1, "segments": r4},
+                batch["text"],
+                pitch=batch.get("pitch"),
+                energy=batch.get("energy"),
+                speaker=batch.get("speaker_id"),
+                spec=spec if self.learn_alignment else None,
+                attn_prior=batch.get("align_prior_matrix"),
+                mel_lens=mel_lens,
+                input_lens=batch["text_len"],
+            )
+            seg = self.segment_size * self.hop_length
+            fake = jnp.zeros((batch["audio"].shape[0], seg), jnp.float32)
+            mpd_params = self.mpd.init(r2, fake, fake)
+            msd_vars = self.msd.init(r3, fake, fake)
+            return g_params, mpd_params, msd_vars
+
+        g_params, mpd_params, msd_vars = _init(rng, batch)
         d_params = {"params": {"mpd": mpd_params["params"], "msd": msd_vars["params"]}}
         d_stats = {"msd": msd_vars.get("batch_stats", {})}
         return g_params, d_params, d_stats

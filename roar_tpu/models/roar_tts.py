@@ -74,21 +74,27 @@ class RoarTTSModel(JETSModel):
 
     def init_params(self, rng, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        r1, r2, r3, r4 = jax.random.split(rng, 4)
-        spec, mel_lens = self._spec_from_batch(batch)
-        g_params = self.module.init(
-            {"params": r1, "segments": r4},
-            batch["text"],
-            pitch=batch.get("pitch"),
-            spec=spec if self.learn_alignment else None,
-            attn_prior=batch.get("align_prior_matrix"),
-            mel_lens=mel_lens,
-            input_lens=batch["text_len"],
-        )
-        seg = self.segment_size * self.hop_length
-        fake = jnp.zeros((batch["audio"].shape[0], seg), jnp.float32)
-        mpd_params = self.mpd.init(r2, fake, fake)
-        mrd_params = self.mrd.init(r3, fake, fake)
+
+        @jax.jit  # one program; eager init is pathological over remote dispatch
+        def _init(rng, batch):
+            r1, r2, r3, r4 = jax.random.split(rng, 4)
+            spec, mel_lens = self._spec_from_batch(batch)
+            g_params = self.module.init(
+                {"params": r1, "segments": r4},
+                batch["text"],
+                pitch=batch.get("pitch"),
+                spec=spec if self.learn_alignment else None,
+                attn_prior=batch.get("align_prior_matrix"),
+                mel_lens=mel_lens,
+                input_lens=batch["text_len"],
+            )
+            seg = self.segment_size * self.hop_length
+            fake = jnp.zeros((batch["audio"].shape[0], seg), jnp.float32)
+            mpd_params = self.mpd.init(r2, fake, fake)
+            mrd_params = self.mrd.init(r3, fake, fake)
+            return g_params, mpd_params, mrd_params
+
+        g_params, mpd_params, mrd_params = _init(rng, batch)
         d_params = {"params": {"mpd": mpd_params["params"], "mrd": mrd_params["params"]}}
         return g_params, d_params, {}
 

@@ -176,12 +176,19 @@ class SpectrogramEnhancerModel:
 
     # -- state / step ------------------------------------------------------
     def init_state(self, rng, batch, g_opt, d_opt) -> GANTrainState:
-        r1, r2, r3 = jax.random.split(rng, 3)
-        cond = self._as_image(self.normalize(jnp.asarray(batch["input_spectrogram"])))
-        zs = jnp.zeros((cond.shape[0], self.latent_dim))
-        noise = jnp.zeros(cond.shape)
-        g_params = self.generator.init(r1, cond, zs, noise)
-        d_params = self.discriminator.init(r2, cond)
+        spec = jnp.asarray(batch["input_spectrogram"])
+
+        @jax.jit  # one program; eager init is pathological over remote dispatch
+        def _init(rng, spec):
+            r1, r2, r3 = jax.random.split(rng, 3)
+            cond = self._as_image(self.normalize(spec))
+            zs = jnp.zeros((cond.shape[0], self.latent_dim))
+            noise = jnp.zeros(cond.shape)
+            g_params = self.generator.init(r1, cond, zs, noise)
+            d_params = self.discriminator.init(r2, cond)
+            return g_params, d_params
+
+        g_params, d_params = _init(rng, spec)
         return create_gan_state(g_params, d_params, g_opt, d_opt, d_stats={})
 
     def make_train_step(self, g_opt, d_opt):

@@ -170,16 +170,22 @@ class VITSModel:
     # ------------------------------------------------------------------
     def init_params(self, rng, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        spec, spec_lens = self._linear_spec(batch)
-        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
-        g_params = self.module.init(
-            {"params": r1, "latents": r2, "segments": r3, "sdp": r4},
-            batch["text"], spec, spec_lens, speaker=batch.get("speaker_id"),
-        )
-        seg = self.segment_size * self.hop_length
-        fake = jnp.zeros((batch["audio"].shape[0], seg), jnp.float32)
-        mpd_params = self.mpd.init(r5, fake, fake)
-        msd_vars = self.msd.init(r5, fake, fake)
+
+        @jax.jit  # one program; eager init is pathological over remote dispatch
+        def _init(rng, batch):
+            spec, spec_lens = self._linear_spec(batch)
+            r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
+            g_params = self.module.init(
+                {"params": r1, "latents": r2, "segments": r3, "sdp": r4},
+                batch["text"], spec, spec_lens, speaker=batch.get("speaker_id"),
+            )
+            seg = self.segment_size * self.hop_length
+            fake = jnp.zeros((batch["audio"].shape[0], seg), jnp.float32)
+            mpd_params = self.mpd.init(r5, fake, fake)
+            msd_vars = self.msd.init(r5, fake, fake)
+            return g_params, mpd_params, msd_vars
+
+        g_params, mpd_params, msd_vars = _init(rng, batch)
         d_params = {"params": {"mpd": mpd_params["params"], "msd": msd_vars["params"]}}
         d_stats = {"msd": msd_vars.get("batch_stats", {})}
         return g_params, d_params, d_stats

@@ -57,10 +57,26 @@ class ProfilerWindow:
     def on_step(self, step: int):
         if not self.enabled:
             return
-        if step == self.start_step and not self._active:
+        if self.start_step <= step < self.end_step and not self._active:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        if step >= self.end_step and self._active:
+        elif step >= self.end_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def as_callback(self):
+        """Per-step Trainer callback; counts steps host-side (no device
+        sync per step)."""
+        counter = {"step": 0}
+
+        def cb(state, metrics):
+            counter["step"] += 1
+            self.on_step(counter["step"])
+
+        return cb if self.enabled else None
+
+    def close(self):
+        if self._active:
             jax.profiler.stop_trace()
             self._active = False
 
@@ -140,6 +156,9 @@ def train_supervised(
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
     )
     profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
+    prof_cb = profiler.as_callback()
+    if prof_cb is not None:
+        trainer.callbacks.append(prof_cb)
 
     example = dataset.collate([dataset[i] for i in list(iter(sampler))[0]], buckets) if buckets else dataset.collate([dataset[i] for i in list(iter(sampler))[0]])
     params = model.init_params(jax.random.PRNGKey(trainer_cfg.get("seed", 0)), example)
@@ -153,7 +172,6 @@ def train_supervised(
         sampler.set_epoch(epoch)
         batches = batch_iterator(dataset, sampler, buckets)
         state, metrics = trainer.run_epoch(state, batches, epoch=epoch, logger=exp.logger)
-        profiler.on_step(int(jax.device_get(state.step)))
         if exp.should_stop():
             exp.save(state, metrics)
             break
@@ -174,6 +192,7 @@ def train_supervised(
                 step=int(jax.device_get(state.step)),
             )
         exp.save(state, metrics)
+    profiler.close()
     exp.close()
     return state
 

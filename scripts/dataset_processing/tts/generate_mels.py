@@ -50,7 +50,8 @@ def main():
     )
     buckets = BucketSpec()
     example = ds.collate([ds[0]], buckets)
-    template = jax.device_get(model.init_params(jax.random.PRNGKey(0), example))
+    # eval_shape: structure only, no compute
+    template = jax.eval_shape(model.init_params, jax.random.PRNGKey(0), example)
     params = serialization.from_state_dict(template, raw_params)
 
     mel_dir = Path(args.mel_dir)

@@ -35,9 +35,12 @@ def main():
     cfg, raw = restore_from(args.fastpitch_model)
     model = FastPitchModel(cfg["model"])
     tokens0 = jnp.zeros((1, 16), jnp.int32)
-    template = jax.device_get(
-        model.module.init({"params": jax.random.PRNGKey(0)}, tokens0,
-                          max_mel_len=args.max_mel_len, method=model.module.infer)
+    # eval_shape: structure only, no compute
+    template = jax.eval_shape(
+        lambda rng: model.module.init({"params": rng}, tokens0,
+                                      max_mel_len=args.max_mel_len,
+                                      method=model.module.infer),
+        jax.random.PRNGKey(0),
     )
     params = serialization.from_state_dict(template, raw)
 
@@ -48,7 +51,9 @@ def main():
         vcfg, vraw = restore_from(args.vocoder_model)
         voc_model = HifiGanModel(vcfg["model"])
         mel0 = jnp.zeros((1, 8, voc_model.mel_cfg.nfilt), jnp.float32)
-        vtemplate = jax.device_get(voc_model.generator.init(jax.random.PRNGKey(0), mel0))
+        vtemplate = jax.eval_shape(
+            lambda rng: voc_model.generator.init(rng, mel0), jax.random.PRNGKey(0)
+        )
         voc_params = serialization.from_state_dict(vtemplate, vraw)
 
     out_dir = Path(args.output_dir)

@@ -44,11 +44,13 @@ def main():
 
         model = FastPitchModel(cfg["model"])
         tokens = jnp.zeros((args.batch, args.text_len), jnp.int32)
-        template = jax.device_get(
-            model.module.init(
-                {"params": jax.random.PRNGKey(0)}, tokens,
+        # eval_shape: structure only, no compute (fast on any backend)
+        template = jax.eval_shape(
+            lambda rng: model.module.init(
+                {"params": rng}, tokens,
                 max_mel_len=args.mel_len, method=model.module.infer,
-            )
+            ),
+            jax.random.PRNGKey(0),
         )
         params = serialization.from_state_dict(template, raw_params)
 
@@ -63,7 +65,9 @@ def main():
 
         model = HifiGanModel(cfg["model"])
         mel = jnp.zeros((args.batch, args.mel_len, model.mel_cfg.nfilt), jnp.float32)
-        template = jax.device_get(model.generator.init(jax.random.PRNGKey(0), mel))
+        template = jax.eval_shape(
+            lambda rng: model.generator.init(rng, mel), jax.random.PRNGKey(0)
+        )
         params = serialization.from_state_dict(template, raw_params)
 
         def fn(mel):
