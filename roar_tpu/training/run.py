@@ -12,6 +12,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from roar_tpu.data import BucketSpec, LengthBucketBatchSampler, TTSDataset, VocoderDataset
 from roar_tpu.parallel import make_mesh, replicate, shard_batch
@@ -168,6 +169,13 @@ def train_supervised(
         state = replicate(state, mesh)
 
     check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
+
+    # jitted once: eager per-batch eval dispatches the whole model op-by-op
+    @jax.jit
+    def _val_metrics(params, batch, epoch):
+        _, m = model.loss_fn(params, batch, None, epoch, deterministic=True)
+        return m
+
     for epoch in range(max_epochs):
         sampler.set_epoch(epoch)
         batches = batch_iterator(dataset, sampler, buckets)
@@ -181,8 +189,7 @@ def train_supervised(
             )
 
             def eval_fn(params, batch):
-                _, m = model.loss_fn(params, batch, None, epoch, deterministic=True)
-                return m
+                return _val_metrics(params, batch, jnp.asarray(epoch, jnp.int32))
 
             val_metrics = trainer.evaluate(
                 eval_fn, state, batch_iterator(val_dataset, val_sampler, buckets)
@@ -262,6 +269,13 @@ def train_gan(
 
     log_every = trainer_cfg.get("log_every_n_steps", 100)
     check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
+
+    # jitted once: eager per-batch eval dispatches the whole model op-by-op
+    @jax.jit
+    def _gan_val_metrics(g_params, d_params, d_stats, batch, rng, epoch):
+        _, vmetrics = model.g_loss_fn(g_params, d_params, d_stats, batch, rng, epoch)
+        return vmetrics
+
     for epoch in range(max_epochs):
         sampler.set_epoch(epoch)
         t0 = time.perf_counter()
@@ -284,9 +298,9 @@ def train_gan(
             n = 0
             for batch in batch_iterator(val_dataset, val_sampler, buckets):
                 rng, sub = jax.random.split(rng)
-                _, vmetrics = model.g_loss_fn(
+                vmetrics = _gan_val_metrics(
                     state.g_params, state.d_params, state.d_stats,
-                    shard_batch(batch, mesh), sub, epoch,
+                    shard_batch(batch, mesh), sub, jnp.asarray(epoch, jnp.int32),
                 )
                 for k, v in vmetrics.items():
                     totals[k] = totals.get(k, 0.0) + float(v)
