@@ -56,13 +56,9 @@ def main():
 
     mel_dir = Path(args.mel_dir)
     mel_dir.mkdir(parents=True, exist_ok=True)
-    out_entries = []
-    for i in range(0, len(ds), args.batch_size):
-        idxs = list(range(i, min(i + args.batch_size, len(ds))))
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in ds.collate([ds[j] for j in idxs], buckets).items()
-        }
+
+    @jax.jit  # one program per bucket shape (eager apply is pathological
+    def _gta(params, batch):  # on remote-dispatch backends)
         spec, mel_lens = model._spec_from_batch(
             batch["audio"], batch["audio_len"], batch
         )
@@ -76,7 +72,17 @@ def main():
             mel_lens=mel_lens,
             input_lens=batch["text_len"],
         )
-        spect = np.asarray(out["spect"])
+        return out["spect"], mel_lens
+
+    out_entries = []
+    for i in range(0, len(ds), args.batch_size):
+        idxs = list(range(i, min(i + args.batch_size, len(ds))))
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in ds.collate([ds[j] for j in idxs], buckets).items()
+        }
+        spect_dev, mel_lens = _gta(params, batch)
+        spect = np.asarray(spect_dev)
         lens = np.asarray(mel_lens)
         for k, j in enumerate(idxs):
             entry = dict(ds.entries[j])

@@ -61,14 +61,26 @@ def main():
     if voc_model:
         (out_dir / "wavs").mkdir(parents=True, exist_ok=True)
 
+    # jit once; pad token length to a multiple so the jit cache stays small
+    @jax.jit
+    def _infer(params, tokens):
+        return model.generate_spectrogram(
+            params, tokens, max_mel_len=args.max_mel_len
+        )
+
     entries = read_manifest(args.input_manifest)
     out_entries = []
     for i, e in enumerate(entries):
         text = e.get("normalized_text", e.get("text", ""))
         tokens = jnp.asarray(model.parse(text))
-        spect, lens = model.generate_spectrogram(
-            params, tokens, max_mel_len=args.max_mel_len
+        # pad with the tokenizer PAD id (masked by the encoder: zero
+        # embedding + zero predicted duration), to a multiple of 32
+        pad_to = -(-tokens.shape[1] // 32) * 32
+        tokens = jnp.pad(
+            tokens, ((0, 0), (0, pad_to - tokens.shape[1])),
+            constant_values=model.tokenizer.pad,
         )
+        spect, lens = _infer(params, tokens)
         n = int(lens[0])
         mel = np.asarray(spect)[0, :n]
         mel_path = out_dir / "mels" / f"{i:06d}.npy"
@@ -76,9 +88,13 @@ def main():
         new = dict(e)
         new["mel_filepath"] = str(mel_path)
         if voc_model is not None:
-            wav = np.asarray(
-                voc_model.convert_spectrogram_to_audio(voc_params, spect[:, :n])
-            )[0]
+            # vocode the full static-shape mel (one compile) and slice
+            # the valid samples on host
+            up = int(np.prod(voc_model.generator.upsample_rates))
+            wav_full = np.asarray(
+                jax.jit(voc_model.convert_spectrogram_to_audio)(voc_params, spect)
+            )
+            wav = wav_full[0, : n * up]
             wav_path = out_dir / "wavs" / f"{i:06d}.wav"
             write_wav(str(wav_path), wav, voc_model.mel_cfg.sample_rate)
             new["audio_filepath"] = str(wav_path)
