@@ -34,6 +34,35 @@ from roar_tpu.ops.forward_sum import bin_loss, forward_sum_loss
 from roar_tpu.ops.spectrogram import MelConfig, log_mel_spectrogram
 
 
+_CONDITIONED_BLOCKS = (
+    "input_fft", "output_fft", "duration_predictor", "pitch_predictor",
+    "energy_predictor", "alignment_module",
+)
+
+
+def strip_inert_conditioning(cfg: Dict[str, Any], n_speakers: int, use_gst: bool) -> Dict[str, Any]:
+    """With no conditioning source (single speaker, no GST) the speaker
+    embedding is always None, and ConditionalInput/ConditionalLayerNorm
+    would raise at trace time (reference submodules.py:594-604 does the
+    same).  The shipped recipes are multispeaker-conditioned, so make the
+    single-speaker case work by dropping condition_types with a warning."""
+    if n_speakers > 1 or use_gst:
+        return cfg
+    if not any((cfg.get(k) or {}).get("condition_types") for k in _CONDITIONED_BLOCKS):
+        return cfg
+    import warnings
+
+    warnings.warn(
+        "n_speakers<=1 with no GST: speaker conditioning has no source; "
+        "dropping condition_types from all sub-modules"
+    )
+    cfg = dict(cfg)
+    for k in _CONDITIONED_BLOCKS:
+        if cfg.get(k) and cfg[k].get("condition_types"):
+            cfg[k] = {**cfg[k], "condition_types": []}
+    return cfg
+
+
 def _fft_config(cfg: Dict[str, Any]) -> FFTConfig:
     target = cfg.get("_target_", "")
     enc_type = cfg.get(
@@ -116,6 +145,7 @@ class FastPitchModel:
         if lookup.get("n_speakers"):
             n_speakers = lookup["n_speakers"]
 
+        cfg = strip_inert_conditioning(cfg, n_speakers, bool(cfg.get("use_gst")))
         energy_cfg = cfg.get("energy_predictor")
         aligner_cfg = cfg.get("alignment_module")
         self.learn_alignment = cfg.get("learn_alignment", aligner_cfg is not None)

@@ -34,6 +34,7 @@ from roar_tpu.models.fastpitch_model import (
     _fft_config,
     _predictor_config,
     preprocessor_config,
+    strip_inert_conditioning,
 )
 from roar_tpu.models.hifigan import MultiPeriodDiscriminator, MultiScaleDiscriminator
 from roar_tpu.models.hifigan_model import generator_from_config
@@ -74,6 +75,10 @@ class JETSModel:
         spk_cfg = cfg.get("speaker_encoder") or {}
         lookup = (spk_cfg.get("lookup_module") or {}) if spk_cfg else {}
         n_speakers = lookup.get("n_speakers") or cfg.get("n_speakers", 1)
+
+        cfg = strip_inert_conditioning(cfg, n_speakers, False)
+        aligner_cfg = cfg.get("alignment_module")
+        energy_cfg = cfg.get("energy_predictor")
 
         self.module = JETSModule(
             n_symbols=n_symbols,

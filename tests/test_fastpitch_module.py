@@ -176,6 +176,53 @@ def test_multispeaker_conditioning():
     assert not np.allclose(np.asarray(out0["spect"]), np.asarray(out1["spect"]))
 
 
+def test_single_speaker_strips_inert_conditioning():
+    """The shipped recipes set condition_types for speaker conditioning;
+    with n_speakers=1 (no conditioning source) the task wrapper drops them
+    with a warning instead of erroring at trace time."""
+    import warnings
+
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+
+    cfg = {
+        "n_mel_channels": 16, "symbols_embedding_dim": 32, "n_symbols": 40,
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16,
+                      "d_inner": 64, "condition_types": ["add", "layernorm"]},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16,
+                       "d_inner": 64, "condition_types": ["add", "layernorm"]},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16,
+                             "condition_types": ["add"]},
+        "duration_predictor": {"input_size": 32, "filter_size": 16,
+                               "condition_types": ["add", "layernorm"]},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "speaker_encoder": {"lookup_module": {"n_speakers": 1}},
+        "preprocessor": {"sample_rate": 22050, "features": 16,
+                         "n_window_size": 512, "n_window_stride": 128,
+                         "n_fft": 512},
+    }
+    with pytest.warns(UserWarning, match="dropping condition_types"):
+        model = FastPitchModel(cfg)
+    batch = {
+        "text": jnp.ones((2, 16), jnp.int32),
+        "text_len": jnp.full((2,), 16, jnp.int32),
+        "audio": jnp.zeros((2, 8192), jnp.float32),
+        "audio_len": jnp.full((2,), 8192, jnp.int32),
+        "pitch": jnp.zeros((2, 64), jnp.float32),
+        "align_prior_matrix": jnp.ones((2, 64, 16), jnp.float32) / 16,
+        "speaker_id": jnp.zeros((2,), jnp.int32),
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss_fn(params, batch, None, 0, deterministic=True)
+    assert np.isfinite(float(loss))
+    # multispeaker configs are untouched
+    cfg2 = dict(cfg)
+    cfg2["speaker_encoder"] = {"lookup_module": {"n_speakers": 3}}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m2 = FastPitchModel(cfg2)
+    assert m2.module.encoder.condition_types == ("add", "layernorm")
+
+
 def test_energy_predictor_path():
     model = tiny_model(energy=True)
     rng = np.random.default_rng(2)
