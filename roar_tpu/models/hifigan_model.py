@@ -157,9 +157,10 @@ class HifiGanModel:
             "g_adv_loss": l_adv_mpd + l_adv_msd,
         }
 
-    def make_train_step(self, g_opt, d_opt, ema_decay=None):
+    def make_train_step(self, g_opt, d_opt, ema_decay=None, precision=None):
         return make_gan_train_step(
-            self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay
+            self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay,
+            precision=precision,
         )
 
     def init_state(self, rng, batch, g_opt, d_opt, ema_decay=None) -> GANTrainState:

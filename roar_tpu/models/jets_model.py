@@ -280,8 +280,11 @@ class JETSModel:
         g_params, d_params, d_stats = self.init_params(rng, batch)
         return create_gan_state(g_params, d_params, g_opt, d_opt, d_stats, ema_decay)
 
-    def make_train_step(self, g_opt, d_opt, ema_decay=None):
-        return make_gan_train_step(self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay)
+    def make_train_step(self, g_opt, d_opt, ema_decay=None, precision=None):
+        return make_gan_train_step(
+            self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay,
+            precision=precision,
+        )
 
     # ------------------------------------------------------------------
     def convert_text_to_waveform(

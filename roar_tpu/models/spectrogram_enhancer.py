@@ -191,5 +191,7 @@ class SpectrogramEnhancerModel:
         g_params, d_params = _init(rng, spec)
         return create_gan_state(g_params, d_params, g_opt, d_opt, d_stats={})
 
-    def make_train_step(self, g_opt, d_opt):
-        return make_gan_train_step(self.d_loss_fn, self.g_loss_fn, g_opt, d_opt)
+    def make_train_step(self, g_opt, d_opt, precision=None):
+        return make_gan_train_step(
+            self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, precision=precision
+        )

@@ -49,6 +49,7 @@ def make_gan_train_step(
     g_opt: optax.GradientTransformation,
     d_opt: optax.GradientTransformation,
     ema_decay: Optional[float] = None,
+    precision: Optional[str] = None,
 ):
     """Build the jitted alternating step.
 
@@ -56,7 +57,18 @@ def make_gan_train_step(
         -> (loss, (metrics, new_d_stats))
     g_loss_fn(g_params, d_params, d_stats, batch, rng, epoch)
         -> (loss, metrics)
+
+    precision='bf16' computes both passes with bfloat16 param/batch casts
+    and fp32 master weights + optimizer state (the TPU analogue of the
+    reference's `precision: 'bf16-mixed'` JETS trainer setting,
+    jets yaml:253; bf16 needs no loss scaling).
     """
+    from roar_tpu.training.trainer import cast_floating
+
+    use_bf16 = precision in ("bf16", "bfloat16", "bf16-mixed")
+
+    def _cast(tree):
+        return cast_floating(tree, jnp.bfloat16) if use_bf16 else tree
 
     def step_fn(state: GANTrainState, batch, rng, epoch):
         # The SAME rng goes to both losses: tasks that sample inside the
@@ -64,17 +76,29 @@ def make_gan_train_step(
         # identical draws in the D and G passes — matching the reference's
         # single-forward manual optimization (models/jets.py:577-694).
         rng_d = rng_g = rng
+        batch = _cast(batch)
 
         # ---- discriminator update ----
+        def d_compute(d_params, d_stats, g_params):
+            return d_loss_fn(_cast(d_params), d_stats, _cast(g_params),
+                             batch, rng_d, epoch)
+
         (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(state.d_params, state.d_stats, state.g_params, batch, rng_d, epoch)
+            d_compute, has_aux=True
+        )(state.d_params, state.d_stats, state.g_params)
+        new_stats = jax.tree_util.tree_map(
+            lambda s, old: s.astype(old.dtype), new_stats, state.d_stats
+        )
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- generator update (against updated discriminator) ----
-        (g_loss, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, d_params, new_stats, batch, rng_g, epoch
+        def g_compute(g_params):
+            return g_loss_fn(_cast(g_params), _cast(d_params), new_stats,
+                             batch, rng_g, epoch)
+
+        (g_loss, g_metrics), g_grads = jax.value_and_grad(g_compute, has_aux=True)(
+            state.g_params
         )
         g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)

@@ -82,6 +82,15 @@ class ProfilerWindow:
             self._active = False
 
 
+def _map_precision(value) -> Optional[str]:
+    """Reference trainer `precision` values -> our mixed-precision mode.
+    16/'16'/'16-mixed' map to bf16 (the TPU AMP analogue; no loss scaling),
+    'bf16'/'bf16-mixed' stay bf16, 32/None stay full precision."""
+    if value in (16, "16", "16-mixed", "bf16", "bf16-mixed", "bfloat16"):
+        return "bf16"
+    return None
+
+
 def _mesh_from_cfg(trainer_cfg: Dict[str, Any], batch_size: Optional[int] = None):
     import math
     import warnings
@@ -145,6 +154,7 @@ def train_supervised(
         mesh=mesh,
         ema_decay=exp_cfg.get("ema", {}).get("decay") if exp_cfg.get("ema") else None,
         log_every=trainer_cfg.get("log_every_n_steps", 100),
+        precision=_map_precision(trainer_cfg.get("precision")),
     )
     exp = ExpManager(
         exp_dir=exp_cfg.get("exp_dir") or "./exp",
@@ -159,7 +169,7 @@ def train_supervised(
     profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
     prof_cb = profiler.as_callback()
     if prof_cb is not None:
-        trainer.callbacks.append(prof_cb)
+        trainer.callbacks = tuple(trainer.callbacks) + (prof_cb,)
 
     example = dataset.collate([dataset[i] for i in list(iter(sampler))[0]], buckets) if buckets else dataset.collate([dataset[i] for i in list(iter(sampler))[0]])
     params = model.init_params(jax.random.PRNGKey(trainer_cfg.get("seed", 0)), example)
@@ -259,7 +269,9 @@ def train_gan(
     )
     rng = jax.random.PRNGKey(trainer_cfg.get("seed", 0))
     state = model.init_state(rng, example, g_opt, d_opt)
-    step_fn = model.make_train_step(g_opt, d_opt)
+    step_fn = model.make_train_step(
+        g_opt, d_opt, precision=_map_precision(trainer_cfg.get("precision"))
+    )
 
     state, start_step = exp.maybe_resume(state)
     if start_step:

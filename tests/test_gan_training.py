@@ -78,6 +78,30 @@ def test_hifigan_gan_step_runs_and_improves(hifigan_setup):
     assert mels[-1] < mels[0], mels
 
 
+def test_hifigan_gan_step_bf16(hifigan_setup):
+    """precision='bf16' computes with bfloat16 casts while keeping fp32
+    master weights, optimizer state, and spectral-norm stats."""
+    model, batch = hifigan_setup
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+    step = model.make_train_step(g_opt, d_opt, precision="bf16")
+
+    rng = jax.random.PRNGKey(1)
+    mels = []
+    for i in range(6):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub, 0)
+        mels.append(float(metrics["g_mel_loss"]))
+        assert np.isfinite(float(metrics["d_loss"]))
+    assert mels[-1] < mels[0], mels
+    # masters stay fp32
+    for leaf in jax.tree_util.tree_leaves(state.g_params) + jax.tree_util.tree_leaves(
+        state.d_params
+    ) + jax.tree_util.tree_leaves(state.d_stats):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+
 def test_spectral_norm_stats_update(hifigan_setup):
     model, batch = hifigan_setup
     g_opt = build_optimizer({"name": "adamw", "lr": 2e-4})
