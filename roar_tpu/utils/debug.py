@@ -52,3 +52,28 @@ def grad_norms(grads: Any) -> Dict[str, float]:
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
         out[path] = float(jnp.linalg.norm(v.astype(jnp.float32)))
     return out
+
+
+def checked(fn: Callable, *, errors=None) -> Callable:
+    """Wrap a jittable function with `jax.experimental.checkify` NaN /
+    div-by-zero / out-of-bounds-index guards (the sanitizer analogue for
+    jitted compute, SURVEY §5.2 build note).
+
+    Returns a function with the same signature that raises
+    `jax.experimental.checkify.JaxRuntimeError` (with the failing check's
+    location) instead of silently propagating NaNs.  Intended for debug
+    runs — the checks add overhead, so don't wrap the production step.
+    """
+    from jax.experimental import checkify
+
+    errors = errors if errors is not None else (
+        checkify.float_checks | checkify.index_checks | checkify.div_checks
+    )
+    checked_fn = checkify.checkify(fn, errors=errors)
+
+    def wrapper(*args, **kwargs):
+        err, out = checked_fn(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapper

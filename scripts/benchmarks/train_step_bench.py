@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Training-step benchmark: FastPitch supervised step at shipped-config
+size, with optional bf16 mixed precision.
+
+Measures steady-state ms/step (forward + backward + optimizer + on-device
+MAS + forward-sum) on synthetic batches with the static bucket shapes the
+real loader produces.
+
+    python scripts/benchmarks/train_step_bench.py [--batch 32]
+        [--text-len 128] [--mel-len 864] [--precision bf16|none]
+
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--text-len", type=int, default=128)
+    p.add_argument("--mel-len", type=int, default=864)
+    p.add_argument("--precision", default="none", choices=["none", "bf16"])
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.config import load_config
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.optim import build_optimizer
+    from roar_tpu.training.trainer import Trainer
+
+    root = Path(__file__).resolve().parents[2]
+    cfg = load_config(
+        root / "configs/fastpitch_22050_align.yaml",
+        overrides=["train_dataset=x", "validation_datasets=x", "sup_data_path=x",
+                   "pitch_mean=170.0", "pitch_std=60.0",
+                   "model.speaker_encoder.lookup_module.n_speakers=4"],
+    )
+    model = FastPitchModel(cfg["model"])
+    hop = model.mel_cfg.hop_length
+    B, T, M = args.batch, args.text_len, args.mel_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(1, 40, (B, T)), jnp.int32),
+        "text_len": jnp.full((B,), T, jnp.int32),
+        "audio": jnp.asarray(rng.standard_normal((B, M * hop)) * 0.1, jnp.float32),
+        "audio_len": jnp.full((B,), M * hop, jnp.int32),
+        "pitch": jnp.asarray(rng.standard_normal((B, M)), jnp.float32),
+        "align_prior_matrix": jnp.ones((B, M, T), jnp.float32) / T,
+        "speaker_id": jnp.zeros((B,), jnp.int32),
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    opt = build_optimizer(dict(cfg["model"]["optim"]), max_steps=10000,
+                          gradient_clip_val=1000.0)
+    trainer = Trainer(
+        loss_fn=lambda p, b, r, e: model.loss_fn(p, b, r, e),
+        optimizer=opt,
+        precision=None if args.precision == "none" else args.precision,
+    )
+    state = trainer.init_state(params)
+    step = trainer._train_step
+
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key, 0)  # compile
+    float(metrics["loss"])  # sync
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, key, 0)
+    float(metrics["loss"])  # checksum fetch forces execution
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": "fastpitch_train_step_ms",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/step",
+        "batch": B, "text_len": T, "mel_len": M,
+        "precision": args.precision,
+        "utterances_per_sec": round(B / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

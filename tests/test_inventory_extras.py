@@ -165,3 +165,21 @@ def test_debug_activation_and_grad_norms():
     g = jax.grad(lambda p: jnp.sum(m.apply(p, x)))(p)
     gn = grad_norms(g)
     assert any("Dense_0" in k for k in gn)
+
+
+def test_checkify_nan_guard():
+    """utils.debug.checked wraps a jitted fn with NaN/index guards
+    (SURVEY §5.2: jax.debug/checkify for NaN/shape guards)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    from roar_tpu.utils.debug import checked
+
+    def loss(x):
+        return jnp.log(x).sum()  # NaN for negative inputs
+
+    guarded = checked(jax.jit(loss))
+    assert np.isfinite(float(guarded(jnp.ones(4))))
+    with pytest.raises(checkify.JaxRuntimeError):
+        guarded(-jnp.ones(4))

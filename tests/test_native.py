@@ -87,3 +87,22 @@ def test_trim_bounds(lib):
     assert s > sr // 4
     assert e < len(x) - sr // 4
     assert e - s >= sr  # keeps the tone
+
+
+def test_native_sanitize_self_test():
+    """`make sanitize` builds the ASAN+UBSAN harness and runs it; any
+    out-of-bounds/UB in the native data plane fails this test
+    (SURVEY §5.2 build note)."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    native_dir = Path(__file__).resolve().parents[1] / "native"
+    result = subprocess.run(
+        ["make", "sanitize"], cwd=native_dir, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stdout[-2000:] + result.stderr[-2000:]
+    assert "self-test OK" in result.stdout
