@@ -25,22 +25,24 @@ def initialize_distributed(
     """
     import jax
 
-    already = False
-    try:
-        already = jax.process_count() > 1 or coordinator_address is None and num_processes is None
-    except Exception:
-        pass
-    if coordinator_address or num_processes or os.environ.get("COORDINATOR_ADDRESS"):
+    explicit = (
+        coordinator_address
+        or num_processes
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("COORDINATOR_ADDRESS"),
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif not already:
+    elif os.environ.get("ROAR_AUTO_DISTRIBUTED_INIT", "0") == "1":
+        # opt-in: on TPU pods jax.distributed.initialize() self-discovers;
+        # default off so single-host runs never probe for a coordinator
         try:
             jax.distributed.initialize()
-        except Exception as e:  # single-process runs are fine
+        except Exception as e:
             get_logger().debug(f"jax.distributed.initialize skipped: {e}")
     info = (jax.process_index(), jax.process_count(), jax.device_count())
     get_logger().info(
@@ -59,7 +61,6 @@ def gather_objects(partial: List[Any], main_rank: Optional[int] = 0) -> Optional
         return list(partial)
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.broadcast_one_to_all  # noqa: F841 (doc pointer)
     all_lists = multihost_utils.process_allgather(partial, tiled=False)
     out: List[Any] = []
     for host_list in all_lists:

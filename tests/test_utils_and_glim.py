@@ -60,3 +60,19 @@ def test_log_once(capsys):
     log_once("hello-unique-xyz")
     log_once("hello-unique-xyz")
     get_logger().info("direct")
+
+
+def test_distributed_single_host():
+    """initialize_distributed / gather_objects on one host: no coordinator
+    probing, identity gather (utils/distributed.py:16-44 analogue)."""
+    from roar_tpu.parallel.distributed import (
+        gather_objects,
+        initialize_distributed,
+    )
+
+    idx, count, devices = initialize_distributed()
+    assert idx == 0 and count == 1 and devices >= 1
+    out = gather_objects([{"a": 1}, "x"])
+    assert out == [{"a": 1}, "x"]
+    # main_rank filtering on a single host returns the list (rank 0)
+    assert gather_objects([1, 2], main_rank=0) == [1, 2]
