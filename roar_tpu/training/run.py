@@ -111,6 +111,27 @@ def _mesh_from_cfg(trainer_cfg: Dict[str, Any], batch_size: Optional[int] = None
     return make_mesh(data=data_axis, model=model_axis)
 
 
+def _log_tts_artifacts(artifacts, model, state, val_dataset, epoch: int):
+    """Synthesize one validation utterance and write plot/audio artifacts."""
+    import numpy as np
+
+    try:
+        text = np.asarray(val_dataset[0]["text"])[None]
+        pad_to = -(-text.shape[1] // 16) * 16
+        pad_id = model.tokenizer.pad if model.tokenizer is not None else 0
+        text = np.pad(text, ((0, 0), (0, pad_to - text.shape[1])),
+                      constant_values=pad_id)
+        spect, lens = model.generate_spectrogram(
+            jax.device_get(state.params), jnp.asarray(text), max_mel_len=1024
+        )
+        outputs = {"spect": np.asarray(spect)[:, : int(lens[0])]}
+        artifacts(epoch, outputs, {})
+    except Exception as e:  # artifacts must never kill training
+        from roar_tpu.utils.logging import get_logger
+
+        get_logger().warning(f"artifact generation failed: {e}")
+
+
 def train_supervised(
     cfg: Dict[str, Any],
     model,
@@ -180,6 +201,18 @@ def train_supervised(
 
     check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
 
+    # optional validation artifacts (plots + Griffin-Lim preview), matching
+    # the reference's configure_callbacks artifact generators
+    artifacts = None
+    if exp_cfg.get("log_artifacts") and hasattr(model, "generate_spectrogram"):
+        from roar_tpu.training.callbacks import FastPitchArtifactGenerator
+
+        artifacts = FastPitchArtifactGenerator(
+            str(exp.root / "artifacts"),
+            log_every_epochs=check_val_every,
+            mel_cfg=getattr(model, "mel_cfg", None),
+        )
+
     # jitted once: eager per-batch eval dispatches the whole model op-by-op
     @jax.jit
     def _val_metrics(params, batch, epoch):
@@ -208,6 +241,8 @@ def train_supervised(
                 {f"val_{k}": v for k, v in val_metrics.items()},
                 step=int(jax.device_get(state.step)),
             )
+            if artifacts is not None:
+                _log_tts_artifacts(artifacts, model, state, val_dataset, epoch)
         exp.save(state, metrics)
     profiler.close()
     exp.close()

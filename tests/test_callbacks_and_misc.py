@@ -151,3 +151,43 @@ def test_adapters_and_freezing():
             pass  # gradient may be zero at init for some; don't assert
         if "adapter" not in path:
             assert not moved, path
+
+
+def test_log_tts_artifacts_runner_hook(tmp_path):
+    """run._log_tts_artifacts synthesizes a val utterance and writes plots
+    (reference configure_callbacks artifact generators analogue)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.callbacks import FastPitchArtifactGenerator
+    from roar_tpu.training.run import _log_tts_artifacts
+
+    cfg = {
+        "n_mel_channels": 16, "symbols_embedding_dim": 32,
+        "text_tokenizer": {
+            "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+        },
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "preprocessor": {"sample_rate": 22050, "features": 16, "n_window_size": 512,
+                         "n_window_stride": 128, "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    params = model.module.init(
+        {"params": jax.random.PRNGKey(0)}, tokens, max_mel_len=64,
+        method=model.module.infer,
+    )
+    state = types.SimpleNamespace(params=params)
+    val_ds = [{"text": np.asarray(model.tokenizer("hello"), np.int32)}]
+    gen = FastPitchArtifactGenerator(str(tmp_path), log_every_epochs=1,
+                                     audio_preview=False, mel_cfg=model.mel_cfg)
+    _log_tts_artifacts(gen, model, state, val_ds, epoch=1)
+    pngs = list(tmp_path.glob("*.png"))
+    assert pngs, "no artifact images written"

@@ -223,6 +223,41 @@ def test_single_speaker_strips_inert_conditioning():
     assert m2.module.encoder.condition_types == ("add", "layernorm")
 
 
+def test_adapter_dim_from_config():
+    """adapter_dim in the input/output_fft config blocks reaches FFTConfig
+    (regression: the adapter finetune example trained 0 params)."""
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.finetune import count_trainable
+
+    cfg = {
+        "n_mel_channels": 16, "symbols_embedding_dim": 32, "n_symbols": 40,
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16,
+                      "d_inner": 64, "adapter_dim": 8},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16,
+                       "d_inner": 64, "adapter_dim": 8},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "preprocessor": {"sample_rate": 22050, "features": 16,
+                         "n_window_size": 512, "n_window_stride": 128,
+                         "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    assert model.module.encoder.adapter_dim == 8
+    batch = {
+        "text": jnp.ones((2, 16), jnp.int32),
+        "text_len": jnp.full((2,), 16, jnp.int32),
+        "audio": jnp.zeros((2, 8192), jnp.float32),
+        "audio_len": jnp.full((2,), 8192, jnp.int32),
+        "pitch": jnp.zeros((2, 64), jnp.float32),
+        "align_prior_matrix": jnp.ones((2, 64, 16), jnp.float32) / 16,
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    n_train, n_total = count_trainable(params, [r"adapter"])
+    assert n_train > 0
+    assert n_train < n_total
+
+
 def test_energy_predictor_path():
     model = tiny_model(energy=True)
     rng = np.random.default_rng(2)
