@@ -399,7 +399,13 @@ class TextEncoderVITS(nn.Module):
             d_inner=4 * self.hidden_channels, kernel_size=self.kernel_size,
             dropout=self.p_dropout, dropatt=self.p_dropout, name="encoder",
         )(emb, mask, deterministic=deterministic)
-        stats = nn.Conv(2 * self.out_channels, (1,), name="proj")(x) * mask
+        # zero-init: prior starts at N(0,1) so the flow-mapped KL is O(1) per
+        # element at step 0 (a default-init logs_p tail reaches exp(-2*logs)
+        # ~ e^8 and the initial KL explodes to ~1e6)
+        stats = nn.Conv(
+            2 * self.out_channels, (1,), name="proj",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(x) * mask
         m, logs = jnp.split(stats, 2, axis=-1)
         return x, m, logs, mask
 
