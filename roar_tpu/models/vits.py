@@ -88,7 +88,13 @@ class PosteriorEncoder(nn.Module):
             self.hidden_channels, self.kernel_size, self.dilation_rate,
             self.n_layers, self.gin_channels, name="enc",
         )(x, mask, g)
-        stats = nn.Conv(2 * self.out_channels, (1,), name="proj")(x) * mask
+        # zero-init: posterior starts at N(0,1).  A default-init projection
+        # over WN features puts logs_q tails at ~7, so exp(2*logs_q) ~ e^14
+        # and the step-0 KL explodes to ~5e6 (seen in the real-chip smoke).
+        stats = nn.Conv(
+            2 * self.out_channels, (1,), name="proj",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(x) * mask
         m, logs = jnp.split(stats, 2, axis=-1)
         if rng is None:
             rng = self.make_rng("latents")
