@@ -187,14 +187,15 @@ def _transition_matrix(
 
 
 def frame_audio(audio: jnp.ndarray, cfg: PyinConfig) -> jnp.ndarray:
-    """[B, S] -> [B, T, frame_length]; center pads with zeros (librosa's
-    pyin pad_mode='constant')."""
+    """[B, T, frame_length] frames; center pads with zeros (librosa's
+    pyin pad_mode='constant').  Slice+reshape framing when hop divides the
+    frame length (see ops/spectrogram.frame_signal)."""
+    from roar_tpu.ops.spectrogram import frame_signal
+
     if cfg.center:
         pad = cfg.frame_length // 2
         audio = jnp.pad(audio, ((0, 0), (pad, pad)))
-    t = (audio.shape[-1] - cfg.frame_length) // cfg.hop + 1
-    idx = np.arange(t)[:, None] * cfg.hop + np.arange(cfg.frame_length)[None, :]
-    return audio[:, idx]
+    return frame_signal(audio, cfg.frame_length, cfg.hop)
 
 
 def cumulative_mean_normalized_difference(
