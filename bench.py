@@ -43,7 +43,6 @@ def main():
 
     from roar_tpu.data.sup_data import SupDataConfig, _extract_batch
     from roar_tpu.ops.pyin_reference import pyin_cpu
-    from roar_tpu.ops.spectrogram import frame_energy, log_mel_spectrogram
 
     sr = 22050
     cfg = SupDataConfig(
