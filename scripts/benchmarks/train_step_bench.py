@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Training-step benchmark: FastPitch supervised step at shipped-config
-size, with optional bf16 mixed precision.
+"""Training-step benchmark at shipped-config sizes, with optional bf16
+mixed precision.
 
-Measures steady-state ms/step (forward + backward + optimizer + on-device
-MAS + forward-sum) on synthetic batches with the static bucket shapes the
-real loader produces.
+Measures steady-state ms/step on synthetic batches with the static bucket
+shapes the real loader produces:
+- `--model fastpitch` (default): supervised step incl. on-device mel
+  front-end + MAS + forward-sum.
+- `--model hifigan`: the full alternating GAN step (G + MPD + MSD, D and G
+  updates in one jitted program) at the shipped 8192-sample segments.
 
-    python scripts/benchmarks/train_step_bench.py [--batch 32]
-        [--text-len 128] [--mel-len 864] [--precision bf16|none]
+    python scripts/benchmarks/train_step_bench.py [--model fastpitch|hifigan]
+        [--batch N] [--precision bf16|none]
 
 Prints one JSON line.
 """
@@ -23,14 +26,61 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import numpy as np
 
 
+def bench_hifigan(args):
+    import jax
+    import jax.numpy as jnp
+    import time
+
+    from roar_tpu.config import load_config
+    from roar_tpu.models.hifigan_model import HifiGanModel
+    from roar_tpu.training.optim import build_optimizer
+
+    root = Path(__file__).resolve().parents[2]
+    cfg = load_config(root / "configs/hifigan_22050.yaml",
+                      overrides=["train_dataset=x", "validation_datasets=x"])
+    model = HifiGanModel(cfg["model"])
+    seg = 8192
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((args.batch, seg)) * 0.1,
+                             jnp.float32),
+        "audio_len": jnp.full((args.batch,), seg, jnp.int32),
+    }
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+    prec = None if args.precision == "none" else args.precision
+    step = model.make_train_step(g_opt, d_opt, precision=prec)
+
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key, 0)
+    float(metrics["g_loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, key, 0)
+    float(metrics["g_loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": "hifigan_gan_step_ms",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/step",
+        "batch": args.batch, "segment": seg, "precision": args.precision,
+        "audio_sec_per_sec": round(args.batch * seg / 22050 / dt, 1),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="fastpitch", choices=["fastpitch", "hifigan"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
     p.add_argument("--precision", default="none", choices=["none", "bf16"])
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
+
+    if args.model == "hifigan":
+        return bench_hifigan(args)
 
     import jax
     import jax.numpy as jnp
