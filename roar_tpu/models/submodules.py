@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn.initializers import constant, variance_scaling, zeros
@@ -290,3 +291,214 @@ class MaskedInstanceNorm1d(nn.Module):
         mean = jnp.sum(x * mask, axis=1, keepdims=True) / cnt
         var = jnp.sum(jnp.square(x - mean) * mask, axis=1, keepdims=True) / cnt
         return (x - mean) / jnp.sqrt(var + self.eps)
+
+
+class PartialConv1d(nn.Module):
+    """Mask-aware 1D conv: zero padding / padded frames do not bias edges
+    (submodules.py:89-143 PartialConv1d).
+
+    The raw conv output is rescaled by (kernel_size / #valid-taps) under the
+    sliding window, and re-masked, so the filter response is invariant to how
+    much of its support lies in padding.  x: [B, T, C]; mask: [B, T, 1] with
+    1 = valid (or None for all-valid).
+    """
+
+    features: int
+    kernel_size: int = 1
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        if mask is not None:
+            x = x * mask
+        raw = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=xavier_uniform_gain(_GAINS[self.w_init_gain]),
+            name="conv",
+        )(x)
+        if mask is None:
+            mask = jnp.ones((1, x.shape[1], 1), x.dtype)
+        # valid-tap count under the window (no grads flow through the mask)
+        ones_kernel = jnp.ones((self.kernel_size, 1, 1), x.dtype)
+        update = jax.lax.stop_gradient(
+            jax.lax.conv_general_dilated(
+                mask, ones_kernel, (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        )
+        ratio = self.kernel_size / jnp.where(update == 0, self.kernel_size, update)
+        update = jnp.clip(update, 0.0, 1.0)
+        ratio = ratio * update
+        if self.use_bias:
+            bias = self.param("bias", zeros, (self.features,))
+            return (raw * ratio + bias[None, None, :]) * update
+        return raw * ratio
+
+
+class LocationLayer(nn.Module):
+    """Conv+dense projection of (prev, cumulative) attention weights
+    (submodules.py:220-242)."""
+
+    attention_n_filters: int
+    attention_kernel_size: int
+    attention_dim: int
+
+    @nn.compact
+    def __call__(self, attention_weights_cat):
+        # attention_weights_cat: [B, T, 2]
+        h = ConvNorm(
+            self.attention_n_filters,
+            kernel_size=self.attention_kernel_size,
+            use_bias=False,
+            name="location_conv",
+        )(attention_weights_cat)
+        return LinearNorm(
+            self.attention_dim, use_bias=False, w_init_gain="tanh",
+            name="location_dense",
+        )(h)
+
+
+class Attention(nn.Module):
+    """Tacotron 2 location-sensitive attention (submodules.py:244-318).
+
+    query: [B, attention_rnn_dim]; memory/processed_memory: [B, T, C];
+    attention_weights_cat: [B, T, 2]; mask: [B, T] bool, True = PADDING.
+    Returns (attention_context [B, C], attention_weights [B, T]).
+    """
+
+    attention_rnn_dim: int
+    embedding_dim: int
+    attention_dim: int
+    attention_location_n_filters: int
+    attention_location_kernel_size: int
+
+    def setup(self):
+        self.query_layer = LinearNorm(
+            self.attention_dim, use_bias=False, w_init_gain="tanh"
+        )
+        self.memory_layer = LinearNorm(
+            self.attention_dim, use_bias=False, w_init_gain="tanh"
+        )
+        self.v = LinearNorm(1, use_bias=False)
+        self.location_layer = LocationLayer(
+            self.attention_location_n_filters,
+            self.attention_location_kernel_size,
+            self.attention_dim,
+        )
+
+    def get_alignment_energies(self, query, processed_memory, attention_weights_cat):
+        processed_query = self.query_layer(query[:, None, :])  # [B, 1, A]
+        processed_location = self.location_layer(attention_weights_cat)
+        energies = self.v(
+            jnp.tanh(processed_query + processed_location + processed_memory)
+        )
+        return jnp.squeeze(energies, -1)  # [B, T]
+
+    def __call__(
+        self, attention_hidden_state, memory, processed_memory,
+        attention_weights_cat, mask=None,
+    ):
+        alignment = self.get_alignment_energies(
+            attention_hidden_state, processed_memory, attention_weights_cat
+        )
+        if mask is not None:
+            alignment = jnp.where(mask, -jnp.inf, alignment)
+        attention_weights = jax.nn.softmax(alignment, axis=1)
+        attention_context = jnp.einsum("bt,btc->bc", attention_weights, memory)
+        return attention_context, attention_weights
+
+
+class Prenet(nn.Module):
+    """Tacotron prenet: stacked Linear+ReLU with ALWAYS-ON dropout
+    (submodules.py:320-349 — dropout stays active at inference, the
+    well-known Tacotron sampling trick, hence deterministic=False default)."""
+
+    sizes: Sequence[int]
+    p_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        for size in self.sizes:
+            x = nn.relu(LinearNorm(size, use_bias=False)(x))
+            x = nn.Dropout(rate=self.p_dropout)(x, deterministic=deterministic)
+        return x
+
+
+def _orthonormal_init(key, shape, dtype=jnp.float32):
+    """Random orthonormal matrix with det +1 (submodules.py:371-377)."""
+    w = jax.random.normal(key, shape, dtype)
+    q, _ = jnp.linalg.qr(w)
+    det = jnp.linalg.det(q)
+    q = q.at[:, 0].multiply(jnp.sign(det))
+    return q
+
+
+class Invertible1x1Conv(nn.Module):
+    """1x1 invertible conv for normalizing flows (WaveGlow leftover,
+    submodules.py:358-413): returns (z @ W, log|det W| * B * T) forward, and
+    applies W^{-1} in reverse.  z: [B, T, C] channels-last."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, z, reverse: bool = False):
+        w = self.param("weight", _orthonormal_init, (self.channels, self.channels))
+        if reverse:
+            return z @ jnp.linalg.inv(w).T
+        b, t, _ = z.shape
+        log_det_w = b * t * jnp.linalg.slogdet(w.astype(jnp.float32))[1]
+        return z @ w.T, log_det_w
+
+
+class WaveGlowWaveNet(nn.Module):
+    """WaveNet-like stack for WaveGlow affine coupling (submodules.py:415-493):
+    non-causal dilated convs (dilation doubles each layer, never resets),
+    gated tanh/sigmoid units, mel conditioning projected once for all layers,
+    zero-initialized end conv so couplings start as identity.
+
+    audio: [B, T, n_in]; spect: [B, T, n_mel] -> [B, T, 2*n_in].
+    """
+
+    n_in_channels: int
+    n_mel_channels: int
+    n_layers: int
+    n_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, audio, spect):
+        h = self.n_channels
+        x = nn.WeightNorm(nn.Conv(h, (1,), name="start"))(audio)
+        output = jnp.zeros_like(x)
+        cond = nn.WeightNorm(
+            nn.Conv(2 * h * self.n_layers, (1,), name="cond_layer")
+        )(spect)
+        for i in range(self.n_layers):
+            dilation = 2 ** i
+            x_in = nn.WeightNorm(
+                nn.Conv(
+                    2 * h, (self.kernel_size,), kernel_dilation=(dilation,),
+                    padding="SAME", name=f"in_layers_{i}",
+                )
+            )(x)
+            x_in = x_in + cond[..., i * 2 * h : (i + 1) * 2 * h]
+            a, g = jnp.split(x_in, 2, axis=-1)
+            acts = jnp.tanh(a) * nn.sigmoid(g)
+            out_ch = 2 * h if i < self.n_layers - 1 else h
+            rs = nn.WeightNorm(
+                nn.Conv(out_ch, (1,), name=f"res_skip_layers_{i}")
+            )(acts)
+            if i < self.n_layers - 1:
+                res, skip = jnp.split(rs, 2, axis=-1)
+                x = x + res
+                output = output + skip
+            else:
+                output = output + rs
+        return nn.Conv(
+            2 * self.n_in_channels, (1,), kernel_init=zeros, bias_init=zeros,
+            name="end",
+        )(output)

@@ -75,6 +75,8 @@ def istft(
     pad = n_fft // 2
     audio = audio[:, pad : out_len - pad]
     if length is not None:
+        if audio.shape[1] < length:  # torch.istft zero-fills to `length`
+            audio = jnp.pad(audio, ((0, 0), (0, length - audio.shape[1])))
         audio = audio[:, :length]
     return audio
 
