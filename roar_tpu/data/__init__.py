@@ -7,7 +7,13 @@ from roar_tpu.data.audio_trimming import (  # noqa: F401
     VadAudioTrimmer,
     normalize_volume,
 )
-from roar_tpu.data.dataset import BucketSpec, TTSDataset, VocoderDataset  # noqa: F401
+from roar_tpu.data.dataset import (  # noqa: F401
+    BucketSpec,
+    MixerTTSXDataset,
+    TTSDataset,
+    VocoderDataset,
+)
+from roar_tpu.data.ssl_dataset import FastPitchSSLDataset  # noqa: F401
 from roar_tpu.data.manifest import filter_by_duration, read_manifest, write_manifest  # noqa: F401
 from roar_tpu.data.sampling import LengthBucketBatchSampler, weighted_indices  # noqa: F401
 from roar_tpu.data.sup_data import (  # noqa: F401

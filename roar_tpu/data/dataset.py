@@ -369,3 +369,62 @@ class VocoderDataset:
                 mel[j, : it["mel"].shape[1]] = it["mel"].T
             out["mel"] = mel
         return out
+
+
+class MixerTTSXDataset(TTSDataset):
+    """TTSDataset + pretrained-LM token ids per utterance
+    (dataset.py:1034-1141 MixerTTSXDataset): each normalized text is also
+    encoded with an external LM tokenizer (reference: ALBERT via
+    transformers) and collated as a padded `lm_tokens` batch.
+
+    TPU note: the LM encode is a host-side, load-time operation (cached at
+    construction like the reference's id2lm_tokens) — nothing changes on the
+    device path.  `lm_tokenizer` may be injected directly (any callable
+    text -> List[int] plus `pad_id`), which keeps this usable in zero-egress
+    environments where `AlbertTokenizer.from_pretrained` cannot download.
+    """
+
+    def __init__(self, lm_model: str = "albert", lm_tokenizer=None, **kwargs):
+        super().__init__(**kwargs)
+        self.sup_data_types.add("lm_tokens")
+        if lm_tokenizer is not None:
+            encode = lm_tokenizer
+            self.lm_padding_value = getattr(lm_tokenizer, "pad_id", 0)
+            space_value = getattr(lm_tokenizer, "space_id", None)
+        elif lm_model == "albert":
+            from transformers import AlbertTokenizer  # reference dataset.py:1039
+
+            tok = AlbertTokenizer.from_pretrained("albert-base-v2")
+            self.lm_padding_value = tok._convert_token_to_id("<pad>")
+            space_value = tok._convert_token_to_id("▁")
+            encode = lambda text: tok.encode(text, add_special_tokens=False)
+        else:
+            raise NotImplementedError(
+                f"{lm_model} lm model is not supported. Only albert is supported."
+            )
+
+        pad_with_space = bool(getattr(self.text_tokenizer, "pad_with_space", False))
+        self.id2lm_tokens: Dict[int, List[int]] = {}
+        for i, entry in enumerate(self.entries):
+            text = entry.get("normalized_text", entry.get("text", ""))
+            pre = getattr(self.text_tokenizer, "text_preprocessing_func", None)
+            if pre is not None:
+                text = pre(text)
+            ids = list(encode(text))
+            if pad_with_space and space_value is not None:
+                ids = [space_value] + ids + [space_value]
+            self.id2lm_tokens[i] = ids
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        item = super().__getitem__(idx)
+        item["lm_tokens"] = np.asarray(self.id2lm_tokens[idx], np.int32)
+        return item
+
+    def collate(self, items, buckets: Optional[BucketSpec] = None):
+        out = super().collate(items, buckets)
+        t_lm = max(len(i["lm_tokens"]) for i in items)
+        lm = np.full((len(items), max(t_lm, 1)), self.lm_padding_value, np.int32)
+        for j, it in enumerate(items):
+            lm[j, : len(it["lm_tokens"])] = it["lm_tokens"]
+        out["lm_tokens"] = lm
+        return out
