@@ -13,6 +13,11 @@ from roar_tpu.data.dataset import (  # noqa: F401
     TTSDataset,
     VocoderDataset,
 )
+from roar_tpu.data.concat_dataset import (  # noqa: F401
+    CodeSwitchedDataset,
+    ConcatDataset,
+    ConcatMapDataset,
+)
 from roar_tpu.data.ssl_dataset import FastPitchSSLDataset  # noqa: F401
 from roar_tpu.data.manifest import filter_by_duration, read_manifest, write_manifest  # noqa: F401
 from roar_tpu.data.sampling import LengthBucketBatchSampler, weighted_indices  # noqa: F401
