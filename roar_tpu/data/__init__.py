@@ -28,3 +28,11 @@ from roar_tpu.data.sup_data import (  # noqa: F401
     pitch_statistics,
 )
 from roar_tpu.data import ipa_lexicon, tokenizers  # noqa: F401
+from roar_tpu.data.asr_datasets import (  # noqa: F401
+    AudioToBPEDataset,
+    AudioToCharDataset,
+    AudioToLabelDataset,
+    AudioToTargetDataset,
+    CharParser,
+)
+from roar_tpu.data import audio_utils, speaker_utils  # noqa: F401

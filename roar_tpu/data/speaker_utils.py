@@ -1,0 +1,343 @@
+"""Speaker-diarization bookkeeping: RTTM IO, segment math, cluster labels.
+
+Lean re-design of roar/collections/asr/parts/utils/speaker_utils.py
+(the offline subset used by clustering-based diarization: uniq-id helpers
+:30-70, audio_rttm_map :72, RTTM read/write :340-404, stamp merging
+:287-325, interval algebra :676-870, subsegmentation :925-1012, cluster
+labels :423-452, embedding_normalize :1687).  The streaming/online
+machinery (OnlineSegmentor etc.) and the pyannote visualization hook are
+intentionally out of scope for the TTS-focused framework; a native DER
+scorer (`diarization_error_rate`) replaces the pyannote dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ----------------------------------------------------------------------
+# IDs and manifests
+# ----------------------------------------------------------------------
+
+def get_uniqname_from_filepath(filepath: str) -> str:
+    """Base filename without extension (speaker_utils.py:30-38)."""
+    if not isinstance(filepath, str):
+        raise TypeError("Expected str, got " + type(filepath).__name__)
+    return os.path.splitext(os.path.basename(filepath))[0]
+
+
+def get_uniq_id_with_dur(meta: Dict, decimals: int = 3) -> str:
+    """`<name>_<offset>_<end>` id (speaker_utils.py:50-69)."""
+    bare = get_uniqname_from_filepath(meta["audio_filepath"])
+    offset = round(float(meta.get("offset") or 0.0), decimals)
+    end = round(offset + float(meta["duration"]), decimals)
+    return f"{bare}_{offset}_{end}"
+
+
+def audio_rttm_map(manifest: str, attach_dur: bool = False) -> Dict[str, Dict]:
+    """Manifest (audio_filepath/rttm_filepath/...) -> uniq-id keyed dict
+    (speaker_utils.py:72-115)."""
+    out: Dict[str, Dict] = {}
+    with open(manifest) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            dic = json.loads(line)
+            meta = {
+                "audio_filepath": dic["audio_filepath"],
+                "rttm_filepath": dic.get("rttm_filepath"),
+                "offset": dic.get("offset"),
+                "duration": dic.get("duration"),
+                "text": dic.get("text"),
+                "label": dic.get("label", "infer"),
+                "uem_filepath": dic.get("uem_filepath"),
+                "ctm_filepath": dic.get("ctm_filepath"),
+            }
+            if attach_dur:
+                uniq = get_uniq_id_with_dur(meta)
+            else:
+                uniq = get_uniqname_from_filepath(dic["audio_filepath"])
+            if uniq in out:
+                raise KeyError(f"Duplicate uniq id {uniq} in manifest {manifest}")
+            out[uniq] = meta
+    return out
+
+
+# ----------------------------------------------------------------------
+# RTTM
+# ----------------------------------------------------------------------
+
+def convert_rttm_line(rttm_line: str, round_digits: int = 3) -> Tuple[float, float, str]:
+    """One RTTM SPEAKER line -> (start, end, speaker)
+    (speaker_utils.py:366-391), with the reference's validity checks."""
+    parts = rttm_line.strip().split()
+    start = round(float(parts[3]), round_digits)
+    dur = round(float(parts[4]), round_digits)
+    speaker = parts[7]
+    if dur < 0 or start < 0:
+        raise ValueError(f"Invalid RTTM timing in line: {rttm_line!r}")
+    return start, start + dur, speaker
+
+
+def rttm_to_labels(rttm_filename: str) -> List[str]:
+    """RTTM file -> ['<start> <end> <speaker>', ...] (speaker_utils.py:393-403)."""
+    labels = []
+    with open(rttm_filename) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            start, end, speaker = convert_rttm_line(line)
+            labels.append(f"{start} {end} {speaker}")
+    return labels
+
+
+def labels_to_rttmfile(labels: Sequence[str], uniq_id: str, out_rttm_dir: str) -> str:
+    """['<start> <end> <speaker>'] -> RTTM file (speaker_utils.py:340-357)."""
+    filename = os.path.join(out_rttm_dir, uniq_id + ".rttm")
+    with open(filename, "w") as f:
+        for line in labels:
+            start, end, speaker = line.strip().split()
+            f.write(
+                "SPEAKER {} 1   {:.3f}   {:.3f} <NA> <NA> {} <NA> <NA>\n".format(
+                    uniq_id, float(start), float(end) - float(start), speaker
+                )
+            )
+    return filename
+
+
+# ----------------------------------------------------------------------
+# Stamp merging / interval algebra
+# ----------------------------------------------------------------------
+
+def get_contiguous_stamps(stamps: Sequence[str]) -> List[str]:
+    """Resolve overlaps by splitting at the midpoint (speaker_utils.py:287-305)."""
+    lines = list(stamps)
+    out = []
+    for i in range(len(lines) - 1):
+        start, end, speaker = lines[i].split()
+        next_start, next_end, next_speaker = lines[i + 1].split()
+        if float(end) > float(next_start):
+            avg = str((float(next_start) + float(end)) / 2.0)
+            lines[i + 1] = " ".join([avg, next_end, next_speaker])
+            out.append(f"{start} {avg} {speaker}")
+        else:
+            out.append(f"{start} {end} {speaker}")
+    start, end, speaker = lines[-1].split()
+    out.append(f"{start} {end} {speaker}")
+    return out
+
+
+def merge_stamps(lines: Sequence[str]) -> List[str]:
+    """Merge adjacent same-speaker stamps (speaker_utils.py:307-325)."""
+    stamps = list(lines)
+    out = []
+    for i in range(len(stamps) - 1):
+        start, end, speaker = stamps[i].split()
+        next_start, next_end, next_speaker = stamps[i + 1].split()
+        if float(end) == float(next_start) and speaker == next_speaker:
+            stamps[i + 1] = " ".join([start, next_end, next_speaker])
+        else:
+            out.append(f"{start} {end} {speaker}")
+    start, end, speaker = stamps[-1].split()
+    out.append(f"{start} {end} {speaker}")
+    return out
+
+
+def is_overlap(range_a: Sequence[float], range_b: Sequence[float]) -> bool:
+    """Half-open overlap check (speaker_utils.py:676-693)."""
+    return range_a[1] > range_b[0] and range_a[0] < range_b[1]
+
+
+def get_overlap_range(range_a, range_b) -> List[float]:
+    """Intersection of two overlapping ranges (speaker_utils.py:694-713)."""
+    if not is_overlap(range_a, range_b):
+        raise ValueError(f"ranges {range_a} and {range_b} do not overlap")
+    return [max(range_a[0], range_b[0]), min(range_a[1], range_b[1])]
+
+
+def fl2int(x: float, decimals: int = 3) -> int:
+    return int(round(x * 10**decimals))
+
+
+def int2fl(x: int, decimals: int = 3) -> float:
+    return round(x / 10**decimals, decimals)
+
+
+def merge_int_intervals(intervals: Sequence[Sequence[int]]) -> List[List[int]]:
+    """Union of integer intervals (speaker_utils.py:714-771)."""
+    if not intervals:
+        return []
+    ivs = sorted((list(i) for i in intervals), key=lambda x: x[0])
+    out = [ivs[0]]
+    for s, e in ivs[1:]:
+        if s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return out
+
+
+def merge_float_intervals(
+    ranges: Sequence[Sequence[float]], decimals: int = 5
+) -> List[List[float]]:
+    """Union of float intervals via fixed-point ints (speaker_utils.py:787-833)."""
+    ints = [[fl2int(s, decimals), fl2int(e, decimals)] for s, e in ranges]
+    return [[int2fl(s, decimals), int2fl(e, decimals)] for s, e in merge_int_intervals(ints)]
+
+
+def get_sub_range_list(
+    target_range: Sequence[float], source_range_list: Sequence[Sequence[float]]
+) -> List[List[float]]:
+    """Clip source ranges to the target range (speaker_utils.py:835-870)."""
+    out = []
+    for r in source_range_list:
+        if is_overlap(r, target_range):
+            out.append(get_overlap_range(r, target_range))
+    return sorted(out, key=lambda x: x[0])
+
+
+# ----------------------------------------------------------------------
+# Subsegmentation
+# ----------------------------------------------------------------------
+
+def get_subsegments(
+    offset: float, window: float, shift: float, duration: float
+) -> List[List[float]]:
+    """[start, dur] windows over a segment (speaker_utils.py:986-1012)."""
+    subsegments: List[List[float]] = []
+    start = offset
+    slice_end = start + duration
+    base = math.ceil((duration - window) / shift)
+    slices = 1 if base < 0 else base + 1
+    for slice_id in range(slices):
+        end = min(start + window, slice_end)
+        subsegments.append([start, end - start])
+        start = offset + (slice_id + 1) * shift
+    return subsegments
+
+
+def segments_manifest_to_subsegments_manifest(
+    segments_manifest_file: str,
+    subsegments_manifest_file: Optional[str] = None,
+    window: float = 1.5,
+    shift: float = 0.75,
+    min_subsegment_duration: float = 0.05,
+) -> str:
+    """Split VAD segments into diarization subsegments
+    (speaker_utils.py:925-984)."""
+    if subsegments_manifest_file is None:
+        pwd = os.getcwd()
+        subsegments_manifest_file = os.path.join(pwd, "subsegments.json")
+    with open(segments_manifest_file) as segs, open(
+        subsegments_manifest_file, "w"
+    ) as out:
+        for line in segs:
+            if not line.strip():
+                continue
+            dic = json.loads(line)
+            subs = get_subsegments(
+                dic.get("offset", 0.0), window, shift, dic["duration"]
+            )
+            for start, dur in subs:
+                if dur < min_subsegment_duration:
+                    continue
+                meta = {
+                    "audio_filepath": dic["audio_filepath"],
+                    "offset": start,
+                    "duration": dur,
+                    "label": dic.get("label", "UNK"),
+                    "uniq_id": dic.get("uniq_id"),
+                }
+                out.write(json.dumps(meta) + "\n")
+    return subsegments_manifest_file
+
+
+# ----------------------------------------------------------------------
+# Cluster labels -> diarization hypothesis
+# ----------------------------------------------------------------------
+
+def generate_cluster_labels(
+    segment_ranges: Sequence[str], cluster_labels: Sequence[int]
+) -> Tuple[List[str], List[str]]:
+    """(merged speaker-turn labels, raw per-segment lines)
+    (speaker_utils.py:423-452)."""
+    lines = []
+    for rng, label in zip(segment_ranges, cluster_labels):
+        lines.append(f"{rng} speaker_{int(label)}")
+    cont = get_contiguous_stamps(lines)
+    return merge_stamps(cont), lines
+
+
+def embedding_normalize(embs: np.ndarray, use_std: bool = False, eps: float = 1e-10):
+    """Mean (optionally std) normalize then unit-scale embeddings
+    (speaker_utils.py:1687-1704)."""
+    embs = embs - embs.mean(axis=0)
+    if use_std:
+        embs = embs / (embs.std(axis=0) + eps)
+    embs_l2_norm = np.maximum(np.linalg.norm(embs, ord=2, axis=-1), eps)[:, None]
+    return embs / embs_l2_norm
+
+
+# ----------------------------------------------------------------------
+# Scoring (replaces the reference's pyannote dependency)
+# ----------------------------------------------------------------------
+
+def _labels_to_frames(labels: Sequence[str], resolution: float = 0.01):
+    """Rasterize '<start> <end> <spk>' labels onto a frame grid."""
+    if not labels:
+        return np.zeros((0,), np.int64), {}
+    end_max = max(float(l.split()[1]) for l in labels)
+    n = int(math.ceil(end_max / resolution))
+    spk_ids: Dict[str, int] = {}
+    frames = np.full((n,), -1, np.int64)
+    for l in labels:
+        s, e, spk = l.split()
+        spk_ids.setdefault(spk, len(spk_ids))
+        frames[int(float(s) / resolution) : int(float(e) / resolution)] = spk_ids[spk]
+    return frames, spk_ids
+
+
+def diarization_error_rate(
+    ref_labels: Sequence[str], hyp_labels: Sequence[str], resolution: float = 0.01
+) -> float:
+    """Frame-based DER with optimal speaker mapping (Hungarian over the
+    confusion matrix).  Single-speaker-per-frame simplification — adequate
+    for the non-overlap hypotheses generate_cluster_labels produces."""
+    ref, _ = _labels_to_frames(ref_labels, resolution)
+    hyp, _ = _labels_to_frames(hyp_labels, resolution)
+    n = max(len(ref), len(hyp))
+    ref = np.pad(ref, (0, n - len(ref)), constant_values=-1)
+    hyp = np.pad(hyp, (0, n - len(hyp)), constant_values=-1)
+
+    n_ref = int(ref.max()) + 1
+    n_hyp = int(hyp.max()) + 1
+    speech = ref >= 0
+    if not speech.any():
+        return 0.0
+    conf = np.zeros((max(n_ref, 1), max(n_hyp, 1)), np.int64)
+    both = speech & (hyp >= 0)
+    np.add.at(conf, (ref[both], hyp[both]), 1)
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        ri, hi = linear_sum_assignment(-conf)
+        matched = conf[ri, hi].sum()
+    except ImportError:  # greedy fallback
+        matched = 0
+        c = conf.copy()
+        for _ in range(min(c.shape)):
+            i, j = np.unravel_index(np.argmax(c), c.shape)
+            matched += c[i, j]
+            c[i, :] = -1
+            c[:, j] = -1
+    miss = int((speech & (hyp < 0)).sum())
+    fa = int((~speech & (hyp >= 0)).sum())
+    confusion = int(both.sum()) - int(matched)
+    return float(miss + fa + confusion) / float(speech.sum())

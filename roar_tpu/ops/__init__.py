@@ -34,3 +34,10 @@ from roar_tpu.ops.forward_sum import (  # noqa: F401
     ctc_forward_sum,
     forward_sum_loss,
 )
+from roar_tpu.ops.clustering import (  # noqa: F401
+    NMESC,
+    SpeakerClustering,
+    SpectralClustering,
+    cos_affinity,
+    kmeans,
+)

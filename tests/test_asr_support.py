@@ -1,0 +1,350 @@
+"""Tests for ASR support code: clustering (ops/clustering.py), speaker_utils,
+audio_utils, and the ASR datasets (reference asr/parts/utils/*,
+asr/data/*)."""
+
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from roar_tpu.data import audio_utils, speaker_utils
+from roar_tpu.data.asr_datasets import (
+    AudioToCharDataset,
+    AudioToLabelDataset,
+    AudioToTargetDataset,
+    CharParser,
+)
+from roar_tpu.ops.clustering import (
+    NMESC,
+    SpeakerClustering,
+    SpectralClustering,
+    binarize_topp,
+    cos_affinity,
+    kmeans,
+    laplacian,
+)
+
+
+# ----------------------------------------------------------------------
+# Clustering
+# ----------------------------------------------------------------------
+
+def speaker_embs(n_spk=3, per=30, d=16, sep=4.0, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_spk, d)) * sep
+    emb = np.concatenate(
+        [centers[i] + 0.4 * rng.standard_normal((per, d)) for i in range(n_spk)]
+    )
+    truth = np.repeat(np.arange(n_spk), per)
+    perm = rng.permutation(len(emb))
+    return emb[perm], truth[perm]
+
+
+def purity(labels, truth):
+    from itertools import permutations
+
+    k = max(labels.max(), truth.max()) + 1
+    best = 0.0
+    for p in permutations(range(k)):
+        mapped = np.asarray([p[l] for l in labels])
+        best = max(best, float((mapped == truth).mean()))
+    return best
+
+
+class TestClustering:
+    def test_affinity_properties(self):
+        import jax.numpy as jnp
+
+        emb, _ = speaker_embs()
+        aff = np.asarray(cos_affinity(jnp.asarray(emb)))
+        assert aff.shape == (90, 90)
+        assert 0.0 <= aff.min() and aff.max() <= 1.0 + 1e-6
+        np.testing.assert_allclose(aff, aff.T, atol=1e-5)
+
+    def test_binarize_symmetric(self):
+        import jax.numpy as jnp
+
+        aff = cos_affinity(jnp.asarray(speaker_embs()[0]))
+        b = np.asarray(binarize_topp(aff, jnp.asarray(5)))
+        np.testing.assert_allclose(b, b.T, atol=1e-6)
+        assert set(np.unique(b)).issubset({0.0, 0.5, 1.0})
+
+    def test_laplacian_rows_sum_zero(self):
+        import jax.numpy as jnp
+
+        aff = cos_affinity(jnp.asarray(speaker_embs()[0]))
+        b = binarize_topp(aff, jnp.asarray(5))
+        L = np.asarray(laplacian(b))
+        np.testing.assert_allclose(L.sum(axis=1), 0.0, atol=1e-4)
+
+    def test_nmesc_estimates_speaker_count(self):
+        import jax.numpy as jnp
+
+        for n_spk in (2, 3, 4):
+            emb, _ = speaker_embs(n_spk=n_spk, seed=n_spk)
+            aff = cos_affinity(jnp.asarray(emb))
+            est, p_hat = NMESC(aff, max_num_speakers=8).forward()
+            assert est == n_spk, f"expected {n_spk}, got {est}"
+            assert p_hat >= 2
+
+    def test_end_to_end_speaker_clustering(self):
+        emb, truth = speaker_embs(n_spk=3)
+        labels = SpeakerClustering(max_num_speakers=8)(emb)
+        assert purity(labels, truth) > 0.95
+
+    def test_oracle_num_speakers(self):
+        emb, truth = speaker_embs(n_spk=2, seed=5)
+        labels = SpeakerClustering().forward_infer(emb, oracle_num_speakers=2)
+        assert set(labels.tolist()) == {0, 1}
+        assert purity(labels, truth) > 0.95
+
+    def test_kmeans_basic(self):
+        import jax.numpy as jnp
+
+        x = np.concatenate([np.zeros((10, 2)), np.ones((10, 2)) * 5]).astype(
+            np.float32
+        )
+        labels, inertia = kmeans(jnp.asarray(x), 2, jnp.asarray(0))
+        labels = np.asarray(labels)
+        assert len(set(labels[:10])) == 1 and len(set(labels[10:])) == 1
+        assert labels[0] != labels[10]
+        assert float(inertia) < 1e-3
+
+    def test_tiny_input(self):
+        assert SpeakerClustering()(np.zeros((2, 8))).tolist() == [0, 0]
+
+
+# ----------------------------------------------------------------------
+# speaker_utils
+# ----------------------------------------------------------------------
+
+class TestSpeakerUtils:
+    def test_rttm_roundtrip(self, tmp_path):
+        labels = ["0.0 1.5 speaker_0", "1.5 3.0 speaker_1", "3.0 4.0 speaker_0"]
+        path = speaker_utils.labels_to_rttmfile(labels, "sess", str(tmp_path))
+        back = speaker_utils.rttm_to_labels(path)
+        assert back == labels
+
+    def test_contiguous_and_merge(self):
+        stamps = ["0.0 2.0 speaker_0", "1.0 3.0 speaker_0", "3.0 4.0 speaker_1"]
+        cont = speaker_utils.get_contiguous_stamps(stamps)
+        # overlap [1,2] split at midpoint 1.5
+        assert cont[0] == "0.0 1.5 speaker_0"
+        merged = speaker_utils.merge_stamps(cont)
+        assert merged == ["0.0 3.0 speaker_0", "3.0 4.0 speaker_1"]
+
+    def test_interval_algebra(self):
+        assert speaker_utils.is_overlap([0, 2], [1, 3])
+        assert not speaker_utils.is_overlap([0, 1], [1, 2])
+        assert speaker_utils.get_overlap_range([0, 2], [1, 3]) == [1, 2]
+        assert speaker_utils.merge_float_intervals(
+            [[0.0, 1.0], [0.5, 2.0], [3.0, 4.0]]
+        ) == [[0.0, 2.0], [3.0, 4.0]]
+        assert speaker_utils.get_sub_range_list(
+            [1.0, 3.0], [[0.0, 1.5], [2.0, 5.0]]
+        ) == [[1.0, 1.5], [2.0, 3.0]]
+
+    def test_subsegments(self):
+        subs = speaker_utils.get_subsegments(10.0, window=1.5, shift=0.75, duration=3.0)
+        assert subs[0] == [10.0, 1.5]
+        assert subs[-1][0] + subs[-1][1] == pytest.approx(13.0)
+
+    def test_generate_cluster_labels_and_der(self):
+        ranges = [f"{i*0.5} {(i+1)*0.5}" for i in range(8)]
+        clusters = [0, 0, 0, 1, 1, 0, 0, 0]
+        hyp, lines = speaker_utils.generate_cluster_labels(ranges, clusters)
+        assert hyp[0].endswith("speaker_0") and len(lines) == 8
+        der_self = speaker_utils.diarization_error_rate(hyp, hyp)
+        assert der_self == pytest.approx(0.0)
+        # a deliberately wrong hypothesis has DER > 0
+        bad = ["0.0 4.0 speaker_0"]
+        assert speaker_utils.diarization_error_rate(hyp, bad) > 0.1
+
+    def test_audio_rttm_map(self, tmp_path):
+        mf = tmp_path / "m.json"
+        mf.write_text(
+            json.dumps(
+                {"audio_filepath": "/x/a.wav", "duration": 3.0, "offset": 0}
+            )
+            + "\n"
+        )
+        out = speaker_utils.audio_rttm_map(str(mf))
+        assert "a" in out and out["a"]["duration"] == 3.0
+
+    def test_embedding_normalize(self):
+        embs = np.random.default_rng(0).standard_normal((5, 8))
+        normed = speaker_utils.embedding_normalize(embs)
+        np.testing.assert_allclose(np.linalg.norm(normed, axis=1), 1.0, rtol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# audio_utils
+# ----------------------------------------------------------------------
+
+class TestAudioUtils:
+    def test_db_conversions(self):
+        assert audio_utils.mag2db(10.0) == pytest.approx(20.0, abs=1e-6)
+        assert audio_utils.db2mag(20.0) == pytest.approx(10.0)
+        assert audio_utils.pow2db(100.0) == pytest.approx(20.0, abs=1e-6)
+        assert audio_utils.rms(np.ones(10) * 2) == pytest.approx(2.0)
+
+    def test_select_channels(self):
+        x = np.stack([np.ones(8), 2 * np.ones(8)], axis=-1)
+        np.testing.assert_allclose(audio_utils.select_channels(x, "average"), 1.5)
+        np.testing.assert_allclose(audio_utils.select_channels(x, 1), 2.0)
+        assert audio_utils.select_channels(x, [0]).shape == (8,)
+        with pytest.raises(ValueError):
+            audio_utils.select_channels(x, 5)
+
+    def test_get_segment_start(self):
+        rng = np.random.default_rng(0)
+        sig = rng.standard_normal(1000).astype(np.float32)
+        assert audio_utils.get_segment_start(sig, sig[123:300]) == 123
+
+    def test_si_sdr_scale_invariance(self):
+        rng = np.random.default_rng(0)
+        t = rng.standard_normal(4000)
+        est = 3.7 * t  # pure rescale: SI-SDR should be (near) infinite
+        si = audio_utils.calculate_sdr(est, t, scale_invariant=True)
+        plain = audio_utils.calculate_sdr(est, t)
+        assert si > 80.0
+        assert plain < si
+
+    def test_convolution_invariant_sdr(self):
+        rng = np.random.default_rng(0)
+        t = rng.standard_normal(4000)
+        h = np.asarray([0.8, 0.15, 0.05])
+        est = np.convolve(t, h)[: len(t)]
+        ci = audio_utils.calculate_sdr(
+            est, t, convolution_invariant=True, convolution_filter_length=16
+        )
+        assert ci > 40.0
+
+    def test_toeplitz(self):
+        x = np.asarray([1.0, 2.0, 3.0])
+        m = audio_utils.toeplitz(x)
+        expect = np.asarray([[1, 2, 3], [2, 1, 2], [3, 2, 1]], float)
+        np.testing.assert_allclose(m, expect)
+
+    def test_theoretical_coherence_properties(self):
+        pos = np.asarray([[0.0, 0, 0], [0.05, 0, 0], [0.1, 0, 0]])
+        coh = audio_utils.theoretical_coherence(pos, sample_rate=16000, fft_length=256)
+        assert coh.shape == (129, 3, 3)
+        np.testing.assert_allclose(coh[:, 0, 0], 1.0)
+        np.testing.assert_allclose(coh, coh.swapaxes(1, 2), atol=1e-8)
+        # DC bin: fully coherent
+        np.testing.assert_allclose(coh[0], 1.0, atol=1e-8)
+
+    def test_noise_field_matches_coherence(self):
+        """Independent noise transformed to a spherical field must have
+        estimated coherence closer to the theoretical one than the input."""
+        rng = np.random.default_rng(0)
+        pos = np.asarray([[0.0, 0, 0], [0.04, 0, 0]])
+        fft_length = 256
+        noise = rng.standard_normal((16000 * 2, 2))
+        out = audio_utils.generate_approximate_noise_field(
+            pos, noise, sample_rate=16000, fft_length=fft_length
+        )
+        from scipy.signal import stft as sp_stft
+
+        def coh_err(x):
+            _, _, S = sp_stft(x.T, nperseg=fft_length,
+                              noverlap=3 * fft_length // 4, window="hann")
+            est = audio_utils.estimated_coherence(S.transpose(1, 2, 0))
+            want = audio_utils.theoretical_coherence(
+                pos, sample_rate=16000, fft_length=fft_length
+            )
+            return np.mean(np.abs(est.real[5:-5] - want[5:-5]))
+
+        assert coh_err(out) < 0.5 * coh_err(noise)
+
+    def test_wrap_to_pi(self):
+        np.testing.assert_allclose(
+            audio_utils.wrap_to_pi(np.asarray([3 * np.pi])), [-np.pi], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            audio_utils.wrap_to_pi(np.asarray([0.5, -0.5])), [0.5, -0.5], atol=1e-9
+        )
+
+
+# ----------------------------------------------------------------------
+# ASR datasets
+# ----------------------------------------------------------------------
+
+def write_wav(path, sr=16000, seconds=0.3, freq=300.0):
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.4 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(x.tobytes())
+
+
+class TestASRDatasets:
+    def make_manifest(self, tmp_path, extra=lambda i: {}):
+        entries = []
+        for i in range(3):
+            wav = tmp_path / f"u{i}.wav"
+            write_wav(wav, freq=250 + 30 * i)
+            e = {"audio_filepath": str(wav), "duration": 0.3,
+                 "text": f"abc {i}"}
+            e.update(extra(i))
+            entries.append(e)
+        mf = tmp_path / "m.json"
+        mf.write_text("".join(json.dumps(e) + "\n" for e in entries))
+        return mf
+
+    def test_char_parser(self):
+        p = CharParser(list("abc "))
+        assert p("ab cz") == [0, 1, 3, 2]  # z dropped
+
+    def test_audio_to_char(self, tmp_path):
+        mf = self.make_manifest(tmp_path)
+        ds = AudioToCharDataset(
+            str(mf), labels=list("abc 0123456789"), sample_rate=16000,
+            audio_multiple=1024, text_multiple=4,
+        )
+        batch = ds.collate([ds[i] for i in range(3)])
+        assert batch["audio"].shape[1] % 1024 == 0
+        assert batch["tokens"].shape == (3, 8)
+        assert (batch["tokens_len"] == 5).all()
+        # pad id = len(labels) (blank) fills beyond tokens_len
+        assert (batch["tokens"][0, 5:] == 14).all()
+
+    def test_audio_to_label(self, tmp_path):
+        mf = self.make_manifest(tmp_path, extra=lambda i: {"label": f"spk{i % 2}"})
+        ds = AudioToLabelDataset(
+            str(mf), labels=None, sample_rate=16000,
+            window_length_in_sec=0.2, audio_multiple=1024,
+        )
+        assert ds.labels == ["spk0", "spk1"]
+        item = ds[0]
+        assert item["audio"].shape[0] == int(0.2 * 16000)
+        batch = ds.collate([ds[i] for i in range(3)])
+        assert batch["label"].tolist() == [0, 1, 0]
+
+    def test_audio_to_target(self, tmp_path):
+        def extra(i):
+            tgt = tmp_path / f"t{i}.wav"
+            write_wav(tgt, freq=100)
+            return {"input_filepath": str(tmp_path / f"u{i}.wav"),
+                    "target_filepath": str(tgt)}
+
+        mf = self.make_manifest(tmp_path, extra=extra)
+        ds = AudioToTargetDataset(
+            str(mf), sample_rate=16000, audio_duration=0.1, audio_multiple=512,
+        )
+        item = ds[0]
+        assert item["input_signal"].shape == item["target_signal"].shape
+        assert item["input_signal"].shape[0] == 1600
+        batch = ds.collate([ds[i] for i in range(3)])
+        assert batch["input_signal"].shape == batch["target_signal"].shape
+        assert batch["input_signal"].shape[1] % 512 == 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
