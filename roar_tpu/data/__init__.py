@@ -36,3 +36,5 @@ from roar_tpu.data.asr_datasets import (  # noqa: F401
     CharParser,
 )
 from roar_tpu.data import audio_utils, speaker_utils  # noqa: F401
+from roar_tpu.data import cleaners  # noqa: F401
+from roar_tpu.data.parsers import ENCharParser, RUCharParser, make_parser  # noqa: F401

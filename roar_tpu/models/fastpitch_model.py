@@ -309,7 +309,16 @@ class FastPitchModel:
         return out["spect"], out["num_frames"]
 
     def parse(self, text: str) -> np.ndarray:
-        """Text -> token ids (models/fastpitch.py:288-309, minus normalizer)."""
+        """Text -> token ids (models/fastpitch.py:277-309, minus normalizer):
+        the tokenizer when alignment is learned, otherwise an ENCharParser
+        over the tokenizer's charset (the reference's `self.parser` path)."""
         if self.tokenizer is None:
             raise ValueError("No tokenizer configured")
-        return np.asarray(self.tokenizer(text), np.int32)[None]
+        if self.learn_alignment:
+            return np.asarray(self.tokenizer(text), np.int32)[None]
+        from roar_tpu.data.parsers import make_parser
+
+        if not hasattr(self, "_parser"):
+            vocab = getattr(self.tokenizer, "tokens", None)
+            self._parser = make_parser(labels=vocab, name="en")
+        return np.asarray(self._parser(text), np.int32)[None]
