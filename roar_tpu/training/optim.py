@@ -155,7 +155,35 @@ def noam_hold_annealing(
     return schedule
 
 
+def exponential_lr(initial_lr, max_steps=None, gamma=0.999, min_lr=0.0):
+    """Per-step exponential decay (torch ExponentialLR, registered in the
+    reference's EPOCH/STEP scheduler tables lr_schedulers.py:1133-1141)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        return jnp.maximum(initial_lr * gamma**step, min_lr)
+
+    return schedule
+
+
+def step_lr(initial_lr, max_steps=None, step_size=1000, gamma=0.1, min_lr=0.0):
+    """Piecewise-constant decay every `step_size` steps (torch StepLR,
+    lr_schedulers.py:1133)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        return jnp.maximum(initial_lr * gamma ** jnp.floor(step / step_size), min_lr)
+
+    return schedule
+
+
 _SCHEDULES: Dict[str, Callable] = {
+    "ExponentialLR": exponential_lr,
+    "StepLR": step_lr,
     "NoamAnnealing": noam_annealing,
     "CosineAnnealing": cosine_annealing,
     "WarmupPolicy": warmup_policy,

@@ -191,3 +191,24 @@ def test_log_tts_artifacts_runner_hook(tmp_path):
     _log_tts_artifacts(gen, model, state, val_ds, epoch=1)
     pngs = list(tmp_path.glob("*.png"))
     assert pngs, "no artifact images written"
+
+
+class TestTorchStyleSchedules:
+    def test_exponential_lr(self):
+        from roar_tpu.training.optim import get_schedule
+
+        sched = get_schedule("ExponentialLR", initial_lr=1.0, gamma=0.9)
+        import numpy as np
+
+        assert float(sched(0)) == 1.0
+        np.testing.assert_allclose(float(sched(10)), 0.9**10, rtol=1e-5)
+
+    def test_step_lr(self):
+        from roar_tpu.training.optim import get_schedule
+
+        sched = get_schedule("StepLR", initial_lr=1.0, step_size=5, gamma=0.1)
+        assert float(sched(4)) == 1.0
+        import numpy as np
+
+        np.testing.assert_allclose(float(sched(5)), 0.1, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(10)), 0.01, rtol=1e-5)
