@@ -38,3 +38,4 @@ from roar_tpu.data.asr_datasets import (  # noqa: F401
 from roar_tpu.data import audio_utils, speaker_utils  # noqa: F401
 from roar_tpu.data import cleaners  # noqa: F401
 from roar_tpu.data.parsers import ENCharParser, RUCharParser, make_parser  # noqa: F401
+from roar_tpu.data.vocoder_dataset import DatasetMeta, VocoderDataset as NewVocoderDataset  # noqa: F401

@@ -1,6 +1,7 @@
 """Data layer tests: tokenizers, audio IO, manifest, dataset end-to-end."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -386,3 +387,91 @@ def test_pitch_statistics():
     stats = pitch_statistics([np.array([0.0, 100.0, 200.0]), np.array([0.0, 0.0])])
     assert stats["pitch_mean"] == 150.0
     assert stats["pitch_min"] == 100.0
+
+
+class TestNewStyleVocoderDataset:
+    def _corpus(self, tmp_path, n=3):
+        import json
+        import wave
+
+        import numpy as np
+
+        sr = 22050
+        entries = []
+        for i in range(n):
+            t = np.arange(sr) / sr
+            x = (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * t) * 32767).astype(
+                np.int16
+            )
+            p = tmp_path / f"v{i}.wav"
+            with wave.open(str(p), "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(sr)
+                f.writeframes(x.tobytes())
+            entries.append(
+                {"audio_filepath": str(p), "text": "x", "duration": 1.0}
+            )
+        mf = tmp_path / "v.json"
+        mf.write_text("".join(json.dumps(e) + "\n" for e in entries))
+        return mf
+
+    def test_meta_sampling_and_collate(self, tmp_path):
+        import numpy as np
+
+        from roar_tpu.data.vocoder_dataset import VocoderDataset
+
+        mf = self._corpus(tmp_path)
+        ds = VocoderDataset(
+            dataset_meta={
+                "a": {"manifest_path": str(mf), "audio_dir": str(tmp_path),
+                      "sample_weight": 3.0},
+            },
+            sample_rate=22050,
+            n_samples=4096,
+            weighted_sampling_steps_per_epoch=5,
+            audio_multiple=1024,
+        )
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["audio"].shape == (4096,)
+        assert not Path(item["audio_filepath"]).is_absolute()
+        batch = ds.collate([ds[i] for i in range(3)])
+        assert batch["audio"].shape == (3, 4096)
+        assert batch["audio"].shape[1] % 1024 == 0
+        idx = ds.get_sampler_indices(batch_size=2)
+        assert idx.shape == (10,)
+        assert set(idx.tolist()) <= {0, 1, 2}
+
+    def test_trunc_and_processors(self, tmp_path):
+        from roar_tpu.data.vocoder_dataset import VocoderDataset
+
+        class Doubler:
+            def process(self, example):
+                example["audio"] = example["audio"] * 2.0
+
+        mf = self._corpus(tmp_path)
+        ds = VocoderDataset(
+            dataset_meta={"a": {"manifest_path": str(mf), "audio_dir": str(tmp_path)}},
+            sample_rate=22050,
+            trunc_duration=0.25,
+            feature_processors={"x2": Doubler()},
+        )
+        item = ds[0]
+        assert item["audio"].shape[0] == int(0.25 * 22050)
+        assert abs(item["audio"]).max() > 0.5  # doubled amplitude
+
+    def test_missing_audio_raises_after_retries(self, tmp_path):
+        import json
+
+        from roar_tpu.data.vocoder_dataset import VocoderDataset
+
+        mf = tmp_path / "bad.json"
+        mf.write_text(json.dumps({"audio_filepath": "nope.wav", "duration": 1.0}) + "\n")
+        ds = VocoderDataset(
+            dataset_meta={"a": {"manifest_path": str(mf), "audio_dir": str(tmp_path)}},
+            sample_rate=22050,
+            num_audio_retries=2,
+        )
+        with pytest.raises(ValueError, match="Failed to read audio"):
+            ds[0]
