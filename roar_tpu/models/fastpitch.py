@@ -94,6 +94,7 @@ class FFTConfig:
     use_flash: bool = False
     encoder_type: str = "transformer"  # or "conformer"
     adapter_dim: int = 0  # >0 inserts bottleneck adapters per layer
+    remat: bool = False  # recompute layer activations in backward (saves HBM traffic)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,7 +140,8 @@ def make_encoder(cfg: FFTConfig, n_embed: int, d_embed: int, padding_idx: int):
 
         return FFConformerEncoder(**common)
     return FFTransformerEncoder(
-        pre_lnorm=cfg.pre_lnorm, adapter_dim=cfg.adapter_dim, **common
+        pre_lnorm=cfg.pre_lnorm, adapter_dim=cfg.adapter_dim, remat=cfg.remat,
+        **common
     )
 
 
@@ -163,7 +165,8 @@ def make_decoder(cfg: FFTConfig):
 
         return FFConformerDecoder(**common)
     return FFTransformerDecoder(
-        pre_lnorm=cfg.pre_lnorm, adapter_dim=cfg.adapter_dim, **common
+        pre_lnorm=cfg.pre_lnorm, adapter_dim=cfg.adapter_dim, remat=cfg.remat,
+        **common
     )
 
 

@@ -84,6 +84,7 @@ def _fft_config(cfg: Dict[str, Any]) -> FFTConfig:
         use_flash=cfg.get("use_flash", cfg.get("use_flash_attention", False)),
         encoder_type=enc_type,
         adapter_dim=cfg.get("adapter_dim", 0),
+        remat=cfg.get("remat", False),
     )
 
 

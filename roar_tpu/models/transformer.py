@@ -249,6 +249,7 @@ class FFTransformerDecoder(nn.Module):
     use_rope: bool = False
     use_flash: bool = False
     adapter_dim: int = 0
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -262,8 +263,16 @@ class FFTransformerDecoder(nn.Module):
             self.d_model, self.d_model, self.condition_types, name="cond_input"
         )(x, conditioning)
         x = nn.Dropout(rate=self.dropemb)(x, deterministic=deterministic)
+        # remat: recompute each layer's activations in the backward pass
+        # instead of storing them — trades spare MXU FLOPs for HBM traffic
+        # (the train step is bandwidth-bound; see scripts/benchmarks).
+        layer_cls = (
+            nn.remat(TransformerLayer, static_argnums=(4,))
+            if self.remat
+            else TransformerLayer
+        )
         for i in range(self.n_layer):
-            x = TransformerLayer(
+            x = layer_cls(
                 self.n_head,
                 self.d_model,
                 self.d_head,
@@ -277,7 +286,7 @@ class FFTransformerDecoder(nn.Module):
                 self.use_flash,
                 self.adapter_dim,
                 name=f"layers_{i}",
-            )(x, mask, conditioning, deterministic=deterministic)
+            )(x, mask, conditioning, deterministic)  # positional: remat static_argnums
         return x, mask
 
 
@@ -305,6 +314,7 @@ class FFTransformerEncoder(nn.Module):
     use_rope: bool = False
     use_flash: bool = False
     adapter_dim: int = 0
+    remat: bool = False
 
     def setup(self):
         self.word_emb = nn.Embed(self.n_embed, self.d_embed or self.d_model)
@@ -323,6 +333,7 @@ class FFTransformerEncoder(nn.Module):
             self.use_rope,
             self.use_flash,
             self.adapter_dim,
+            self.remat,
         )
 
     def embed(self, tokens):
