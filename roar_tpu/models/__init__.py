@@ -9,6 +9,7 @@ from roar_tpu.models.fastpitch import (  # noqa: F401
     TemporalPredictor,
 )
 from roar_tpu.models.dac import DAC, DACModel, ResidualVectorQuantize  # noqa: F401
+from roar_tpu.models.waveglow import WaveGlowModel, WaveGlowModule  # noqa: F401
 from roar_tpu.models.transformer import (  # noqa: F401
     FFTransformerDecoder,
     FFTransformerEncoder,
