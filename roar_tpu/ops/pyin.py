@@ -198,6 +198,34 @@ def frame_audio(audio: jnp.ndarray, cfg: PyinConfig) -> jnp.ndarray:
     return frame_signal(audio, cfg.frame_length, cfg.hop)
 
 
+@functools.lru_cache(maxsize=8)
+def _acf_dft_tables(fl: int, w: int, n_lags: int):
+    """Real-DFT matmul tables for the windowed autocorrelation.
+
+    TPU has no FFT unit — XLA FFTs run as slow generic kernels — so the
+    rfft/irfft pair is expressed as three matmuls on the MXU, and the
+    inverse transform keeps only the `n_lags` outputs the CMNDF needs
+    (indices w .. w+n_lags-1) instead of all fl.
+    """
+    nfq = fl // 2 + 1
+    n = np.arange(fl, dtype=np.float64)[:, None]
+    k = np.arange(nfq, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / fl
+    cos_f = np.cos(ang).astype(np.float32)  # [fl, nfq]
+    sin_f = np.sin(ang).astype(np.float32)
+    # inverse rows for selected output positions m = w .. w+n_lags-1
+    m = np.arange(w, w + n_lags, dtype=np.float64)[None, :]
+    k2 = np.arange(nfq, dtype=np.float64)[:, None]
+    ang2 = 2.0 * np.pi * k2 * m / fl
+    wgt = np.full((nfq, 1), 2.0)
+    wgt[0] = 1.0
+    if fl % 2 == 0:
+        wgt[-1] = 1.0
+    inv_cos = (wgt * np.cos(ang2) / fl).astype(np.float32)  # [nfq, n_lags]
+    inv_sin = (-wgt * np.sin(ang2) / fl).astype(np.float32)
+    return cos_f, sin_f, inv_cos, inv_sin
+
+
 def cumulative_mean_normalized_difference(
     frames: jnp.ndarray, cfg: PyinConfig
 ) -> jnp.ndarray:
@@ -205,25 +233,33 @@ def cumulative_mean_normalized_difference(
 
     frames: [..., frame_length] -> [..., n_periods].
     Difference function d(tau) = r_t(0) + r_{t+tau}(0) - 2*acf(tau), with the
-    autocorrelation computed in the frequency domain.
+    autocorrelation computed in the frequency domain — as windowed-DFT
+    matmuls restricted to the needed lags (see _acf_dft_tables).
     """
     fl, w = cfg.frame_length, cfg.win
     x = frames.astype(jnp.float32)
+    n_lags = cfg.max_period + 1
 
-    # acf(tau) over window w: irfft(rfft(x) * rfft(reversed x[:w+1]))[w:]
-    a = jnp.fft.rfft(x, n=fl, axis=-1)
+    cos_f, sin_f, inv_cos, inv_sin = map(
+        jnp.asarray, _acf_dft_tables(fl, w, n_lags)
+    )
     head_rev = jnp.flip(x[..., : w + 1], axis=-1)
-    b = jnp.fft.rfft(head_rev, n=fl, axis=-1)
-    acf = jnp.fft.irfft(a * b, n=fl, axis=-1)[..., w:]
+    re_a = x @ cos_f
+    im_a = -(x @ sin_f)
+    re_b = head_rev @ cos_f[: w + 1]
+    im_b = -(head_rev @ sin_f[: w + 1])
+    re_p = re_a * re_b - im_a * im_b
+    im_p = re_a * im_b + im_a * re_b
+    acf = re_p @ inv_cos + im_p @ inv_sin  # [..., n_lags] = irfft rows [w:]
     acf = jnp.where(jnp.abs(acf) < 1e-6, 0.0, acf)
 
     # Rolling window energy: E(tau) = sum_{i=tau+1}^{tau+w} x_i^2
     # (librosa alignment: cumsum[w+tau] - cumsum[tau])
     energy_cum = jnp.cumsum(jnp.square(x), axis=-1)
-    energy = energy_cum[..., w:] - energy_cum[..., :-w]
+    energy = energy_cum[..., w : w + n_lags] - energy_cum[..., : n_lags]
     energy = jnp.where(jnp.abs(energy) < 1e-6, 0.0, energy)
 
-    d = energy[..., :1] + energy - 2.0 * acf  # [..., fl - w]
+    d = energy[..., :1] + energy - 2.0 * acf  # [..., n_lags]
 
     tau = jnp.arange(1, cfg.max_period + 1, dtype=jnp.float32)
     cum_mean = jnp.cumsum(d[..., 1 : cfg.max_period + 1], axis=-1) / tau
@@ -310,9 +346,117 @@ def trough_probabilities(yin: jnp.ndarray, cfg: PyinConfig) -> jnp.ndarray:
     return probs
 
 
+def trough_probabilities_compact(
+    yin: jnp.ndarray, cfg: PyinConfig, max_troughs: int = 128
+) -> jnp.ndarray:
+    """trough_probabilities with the period axis compacted to trough slots.
+
+    The dense version materializes [frames, n_periods, n_thresholds]
+    (~900M elements at bench shapes) although only the trough positions
+    (typically 20-100 of ~330 periods) carry probability.  Here troughs are
+    gathered into `max_troughs` slots (period order preserved via argsort of
+    masked period indices), the identical rank/Boltzmann/threshold math runs
+    on [frames, K, n_thresholds], and the result is scattered back — a
+    ~P/K-fold cut of the dominant sup-data tensor.  Frames with more than
+    `max_troughs` troughs (adversarial noise; >109 cannot occur for
+    localmin-spaced troughs at K=128 with the default 327 periods) would
+    drop the deepest-lag tail, so K defaults comfortably above the
+    structural bound P/3 + 1.
+    """
+    beta_probs = jnp.asarray(_beta_probs(cfg.n_thresholds, cfg.beta_a, cfg.beta_b))
+    thresholds = jnp.linspace(0.0, 1.0, cfg.n_thresholds + 1)[1:]
+
+    p = yin.shape[-1]
+    k_slots = min(max_troughs, p)
+    prev_ = yin[..., :-2]
+    cur = yin[..., 1:-1]
+    next_ = yin[..., 2:]
+    interior = (cur < prev_) & (cur <= next_)
+    first = yin[..., :1] < yin[..., 1:2]
+    is_trough = jnp.concatenate(
+        [first, interior, jnp.zeros_like(yin[..., :1], dtype=bool)], axis=-1
+    )
+    heights = jnp.where(is_trough, yin, jnp.inf)
+
+    # gather the first K troughs in period order
+    order_key = jnp.where(is_trough, jnp.arange(p), p + 1)
+    pos = jnp.sort(order_key, axis=-1)[..., :k_slots]  # [F, K]
+    slot_valid = pos <= p
+    pos_c = jnp.minimum(pos, p - 1)
+    h_k = jnp.take_along_axis(heights, pos_c, axis=-1)
+    h_k = jnp.where(slot_valid, h_k, jnp.inf)
+
+    below = (
+        slot_valid[..., :, None] & (h_k[..., :, None] < thresholds)
+    ).astype(jnp.float32)
+    # rank under each threshold = strictly-lower-triangular matmul over the
+    # slot axis (MXU) — the log-depth cumsum runs on the VPU and is slower
+    # at these shapes
+    tril = jnp.asarray(np.tril(np.ones((k_slots, k_slots), np.float32), -1))
+    rank = jnp.einsum("ij,...jt->...it", tril, below)
+    n_troughs = jnp.sum(below, axis=-2, keepdims=True)
+    pmf = _boltzmann_pmf(rank, cfg.boltzmann_parameter, n_troughs)
+    pmf = jnp.where(below > 0, pmf, 0.0)
+    probs_k = jnp.einsum("...pt,t->...p", pmf, beta_probs)
+
+    # global-minimum bonus: computed over the FULL period axis (identical to
+    # the dense version even if the min were beyond slot K)
+    global_min = jnp.argmin(heights, axis=-1)
+    min_height = jnp.min(heights, axis=-1)
+    beta_cdf = jnp.cumsum(beta_probs)
+    n_empty = jnp.sum(thresholds[None] <= min_height[..., None], axis=-1)
+    empty_mass = jnp.where(n_empty > 0, beta_cdf[jnp.maximum(n_empty - 1, 0)], 0.0)
+    bonus = cfg.no_trough_prob * empty_mass
+    has_trough = jnp.any(is_trough, axis=-1)
+
+    # scatter slot probabilities back onto the period axis
+    flat_probs = probs_k.reshape(-1, k_slots)
+    flat_pos = pos_c.reshape(-1, k_slots)
+    flat_valid = slot_valid.reshape(-1, k_slots)
+    f = flat_probs.shape[0]
+    out = jnp.zeros((f, p), probs_k.dtype)
+    rows = jnp.broadcast_to(jnp.arange(f)[:, None], flat_pos.shape)
+    out = out.at[rows.reshape(-1), flat_pos.reshape(-1)].add(
+        jnp.where(flat_valid, flat_probs, 0.0).reshape(-1)
+    )
+    out = out.reshape(probs_k.shape[:-1] + (p,))
+    onehot = jax.nn.one_hot(global_min, p, dtype=out.dtype)
+    out = out + jnp.where(has_trough[..., None], onehot * bonus[..., None], 0.0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Observations + Viterbi
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _bin_window_tables(cfg: "PyinConfig"):
+    """Static per-period pitch-bin windows + the scatter matrix.
+
+    lo[p]: lowest bin reachable by period p given shift in [-1, 1];
+    W: max window width over periods; S [P*W, n_bins]: S[p*W + w, b] = 1 iff
+    lo[p] + w == b.  (Window bounds use shift = -/+1 with one bin of
+    rounding slack; parabolic_shifts guarantees |shift| <= 1.)"""
+    n_bins = cfg.n_pitch_bins
+    p_count = cfg.n_periods
+    p_idx = np.arange(p_count, dtype=np.float64)
+
+    def bin_of(periods):
+        f0 = cfg.sample_rate / np.maximum(periods, 1e-6)
+        b = 12 * cfg.n_bins_per_semitone * np.log2(f0 / cfg.fmin)
+        return np.clip(np.round(b), 0, n_bins - 1).astype(np.int64)
+
+    hi = np.minimum(bin_of(cfg.min_period + p_idx - 1.0) + 1, n_bins - 1)
+    lo = np.maximum(bin_of(cfg.min_period + p_idx + 1.0) - 1, 0)
+    width = int((hi - lo).max()) + 1
+    smat = np.zeros((p_count * width, n_bins), np.float32)
+    for p in range(p_count):
+        for w in range(width):
+            b = lo[p] + w
+            if 0 <= b < n_bins:
+                smat[p * width + w, b] = 1.0
+    return lo.astype(np.int32), width, smat
 
 
 def observation_probs(
@@ -332,11 +476,19 @@ def observation_probs(
     bin_idx = 12 * cfg.n_bins_per_semitone * jnp.log2(f0 / cfg.fmin)
     bin_idx = jnp.clip(jnp.round(bin_idx), 0, n_bins - 1).astype(jnp.int32)
 
-    frame_idx = jnp.broadcast_to(jnp.arange(f)[:, None], (f, p))
-    voiced = jnp.zeros((f, n_bins), probs.dtype)
-    voiced = voiced.at[frame_idx.reshape(-1), bin_idx.reshape(-1)].add(
-        probs.reshape(-1)
+    # Bin accumulation WITHOUT scatter (TPU scatters serialize — this was
+    # the hottest op of the whole sup-data pipeline): each period's
+    # reachable bins form a static window [lo_p, lo_p + W) because the
+    # parabolic shift is bounded by +-1 period, so the scatter is exactly a
+    # windowed one-hot times a precomputed 0/1 matrix — one MXU matmul.
+    lo_np, w_width, smat_np = _bin_window_tables(cfg)
+    lo = jnp.asarray(lo_np)
+    smat = jnp.asarray(smat_np)
+    w_idx = bin_idx - lo[None, :]
+    contrib = probs[:, :, None] * (
+        w_idx[:, :, None] == jnp.arange(w_width)[None, None, :]
     )
+    voiced = contrib.reshape(f, p * w_width) @ smat
     voiced_prob = jnp.clip(jnp.sum(voiced, axis=-1), 0.0, 1.0)
     unvoiced = jnp.broadcast_to(
         ((1.0 - voiced_prob) / n_bins)[:, None], (f, n_bins)
@@ -484,13 +636,20 @@ def pyin(
     shifts = parabolic_shifts(yin)
 
     # Trough priors in frame chunks to bound the threshold intermediate.
+    # The compact kernel gathers troughs into K slots before the threshold
+    # math; K=160 exceeds the structural bound on trough count (localmin
+    # spacing gives at most n_periods/3 + 1 interior troughs), so results
+    # are exact while the dominant tensor shrinks ~2x.
     p = cfg.n_periods
+    k_slots = min(160, p)
     flat_yin = yin.reshape(-1, p)
     f = flat_yin.shape[0]
     pad_f = (-f) % frame_chunk
     flat_yin = jnp.pad(flat_yin, ((0, pad_f), (0, 0)), constant_values=jnp.inf)
     chunks = flat_yin.reshape(-1, frame_chunk, p)
-    probs = jax.lax.map(lambda c: trough_probabilities(c, cfg), chunks)
+    probs = jax.lax.map(
+        lambda c: trough_probabilities_compact(c, cfg, k_slots), chunks
+    )
     probs = probs.reshape(-1, p)[:f]
 
     obs, voiced_prob = observation_probs(probs, shifts.reshape(-1, p), cfg)
