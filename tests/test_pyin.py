@@ -328,3 +328,143 @@ def test_pallas_viterbi_matches_xla_interpret():
     ref = np.asarray(banded_viterbi_decode(log_obs, cfg))
     got = np.asarray(banded_viterbi_decode_pallas(log_obs, cfg, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def _default_cfg() -> PyinConfig:
+    """Realistic 22.05 kHz config (the shipped sup-data recipe)."""
+    return PyinConfig(
+        sample_rate=22050,
+        fmin=65.40639132514966,
+        fmax=2093.004522404789,
+        frame_length=2048,
+        center=True,
+    )
+
+
+class TestOptimizedKernels:
+    """The MXU-shaped rewrites must match their reference formulations
+    exactly (compact troughs vs dense; windowed-matmul bins vs scatter)."""
+
+    def _yin_rows(self, seed=0, n=257):
+        import numpy as np
+
+        from roar_tpu.ops.pyin import (
+            cumulative_mean_normalized_difference,
+            frame_audio,
+        )
+
+        cfg = _default_cfg()
+        rng = np.random.default_rng(seed)
+        t = np.arange(22050) / 22050.0
+        sine = 0.5 * np.sin(2 * np.pi * 220 * t)
+        noise = 0.3 * rng.standard_normal(22050)
+        audio = jnp.asarray(np.stack([sine, noise]).astype(np.float32))
+        frames = frame_audio(audio, cfg)
+        yin = cumulative_mean_normalized_difference(frames, cfg)
+        return yin.reshape(-1, yin.shape[-1]), cfg
+
+    def test_compact_troughs_match_dense(self):
+        from roar_tpu.ops.pyin import (
+            trough_probabilities,
+            trough_probabilities_compact,
+        )
+
+        flat, cfg = self._yin_rows()
+        dense = trough_probabilities(flat, cfg)
+        compact = trough_probabilities_compact(flat, cfg, max_troughs=160)
+        np.testing.assert_allclose(
+            np.asarray(compact), np.asarray(dense), atol=1e-6
+        )
+
+    def test_structural_trough_bound(self):
+        """Interior troughs need >=3 samples each plus the edge trough, so
+        K=160 always covers the default period grid."""
+        from roar_tpu.ops.pyin import frame_audio
+
+        flat, cfg = self._yin_rows(seed=3)
+        p = flat.shape[-1]
+        assert p // 3 + 2 <= 160
+
+    def test_bin_window_matmul_matches_scatter(self):
+        from roar_tpu.ops.pyin import (
+            _bin_window_tables,
+            observation_probs,
+            parabolic_shifts,
+        )
+
+        flat, cfg = self._yin_rows(seed=1)
+        shifts = parabolic_shifts(flat)
+        probs = jnp.exp(-jnp.clip(flat, 0.0, 10.0))
+        obs, vp = observation_probs(probs, shifts, cfg)
+
+        # brute-force scatter reference
+        f, p = probs.shape
+        n_bins = cfg.n_pitch_bins
+        # fp32 throughout to match the device's rounding at .5 boundaries
+        periods = (
+            cfg.min_period + np.arange(p, dtype=np.float32)[None, :]
+            + np.asarray(shifts, np.float32)
+        )
+        f0 = np.float32(cfg.sample_rate) / np.maximum(periods, np.float32(1e-6))
+        bin_idx = np.float32(12 * cfg.n_bins_per_semitone) * np.log2(
+            f0 / np.float32(cfg.fmin)
+        )
+        bin_idx = np.clip(np.round(bin_idx), 0, n_bins - 1).astype(int)
+        voiced_ref = np.zeros((f, n_bins), np.float32)
+        pr = np.asarray(probs)
+        for i in range(f):
+            for j in range(p):
+                voiced_ref[i, bin_idx[i, j]] += pr[i, j]
+        np.testing.assert_allclose(
+            np.asarray(obs[:, :n_bins]), voiced_ref, atol=2e-4
+        )
+
+    def test_window_tables_cover_shift_range(self):
+        from roar_tpu.ops.pyin import _bin_window_tables
+
+        _, cfg = self._yin_rows()
+        lo, width, smat = _bin_window_tables(cfg)
+        n_bins = cfg.n_pitch_bins
+        # every (period, shift) bin lands inside its window
+        for shift in (-1.0, -0.5, 0.0, 0.5, 1.0):
+            periods = cfg.min_period + np.arange(cfg.n_periods) + shift
+            f0 = cfg.sample_rate / np.maximum(periods, 1e-6)
+            b = np.clip(
+                np.round(12 * cfg.n_bins_per_semitone * np.log2(f0 / cfg.fmin)),
+                0, n_bins - 1,
+            ).astype(int)
+            w = b - lo
+            assert (w >= 0).all() and (w < width).all(), shift
+
+    def test_matmul_cmndf_matches_fft(self):
+        """The lag-restricted DFT-matmul CMNDF equals the jnp.fft version."""
+        import numpy as np
+
+        from roar_tpu.ops.pyin import frame_audio
+
+        cfg = _default_cfg()
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((1, 22050)).astype(np.float32))
+        frames = frame_audio(audio, cfg)
+        from roar_tpu.ops.pyin import cumulative_mean_normalized_difference
+
+        ours = cumulative_mean_normalized_difference(frames, cfg)
+
+        fl, w = cfg.frame_length, cfg.win
+        x = np.asarray(frames, np.float64)
+        a = np.fft.rfft(x, n=fl, axis=-1)
+        b = np.fft.rfft(np.flip(x[..., : w + 1], axis=-1), n=fl, axis=-1)
+        acf = np.fft.irfft(a * b, n=fl, axis=-1)[..., w:]
+        acf[np.abs(acf) < 1e-6] = 0.0
+        cum = np.cumsum(np.square(x), axis=-1)
+        energy = cum[..., w:] - cum[..., :-w]
+        energy[np.abs(energy) < 1e-6] = 0.0
+        d = energy[..., :1] + energy - 2.0 * acf
+        tau = np.arange(1, cfg.max_period + 1)
+        cmean = np.cumsum(d[..., 1 : cfg.max_period + 1], axis=-1) / tau
+        num = d[..., cfg.min_period : cfg.max_period + 1]
+        den = cmean[..., cfg.min_period - 1 : cfg.max_period]
+        ref = num / (den + 1e-20)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref, atol=2e-3, rtol=2e-3
+        )
