@@ -1,0 +1,28 @@
+"""Train the WaveGlow flow vocoder.
+
+    python examples/tts/waveglow.py --config-name=waveglow_22050 \
+        train_dataset=train.json validation_datasets=val.json
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from roar_tpu.config.cli import config_runner
+from roar_tpu.models.waveglow import WaveGlowModel
+from roar_tpu.training.run import build_vocoder_dataset, train_supervised
+
+
+@config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
+               config_name="waveglow_22050")
+def main(cfg):
+    model = WaveGlowModel(cfg["model"])
+    train_ds = build_vocoder_dataset(cfg["model"]["train_ds"]["dataset"])
+    val_cfg = (cfg["model"].get("validation_ds") or {}).get("dataset")
+    val_ds = build_vocoder_dataset(val_cfg) if val_cfg else None
+    train_supervised(cfg, model, train_ds, val_ds)
+
+
+if __name__ == "__main__":
+    main()
