@@ -276,14 +276,84 @@ def banded_viterbi_decode_pallas(
     # assemble [B, 2N] views
     vf = jnp.concatenate([v_final[:, 0, :n], v_final[:, 1, :n]], axis=-1)
     last = jnp.argmax(vf, axis=-1).astype(jnp.int32)
-    ptrs_full = jnp.concatenate(
-        [ptrs[:, :, 0, :n], ptrs[:, :, 1, :n]], axis=-1
-    )  # [T, B, 2N]; row 0 is garbage (no transition into t=0)
-
-    def back(state, ptr_t):
-        prev = jnp.take_along_axis(ptr_t, state[:, None], axis=1)[:, 0]
-        return prev, prev
-
-    _, prevs = jax.lax.scan(back, last, ptrs_full[1:][::-1])
-    states = jnp.concatenate([prevs[::-1], last[None]], axis=0)
+    # backtracking also runs as one kernel launch (the XLA alternative is a
+    # T-step scan of tiny gathers)
+    states = _backtrack_pallas_call(ptrs, last, n=n, interpret=interpret)
     return states.swapaxes(0, 1)
+
+
+def _backtrack_kernel(
+    ptr_ref,      # HBM [T, B, 2, NP] int32
+    init_ref,     # VMEM [B, NP] int32 (broadcast final state per row)
+    out_ref,      # VMEM [T8, B] int32 states
+    buf,          # VMEM scratch [2, B, 2, NP] int32
+    sems,         # DMA sems (2,)
+    *,
+    T: int,
+    B: int,
+    NP: int,
+    n_valid: int,
+):
+    """Sequential Viterbi backtrack with the pointer rows streamed through
+    VMEM: state[t-1] = ptr[t][state[t]].  The lane-select is an iota
+    compare + masked max (no gathers)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, NP), 1)
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(ptr_ref.at[t], buf.at[slot], sems.at[slot])
+
+    state0 = init_ref[:, 0]  # [B]
+    out_ref[T - 1, :] = state0
+    dma((T - 1) % 2, T - 1).start()
+    if T > 2:
+        dma((T - 2) % 2, T - 2).start()
+
+    def step(i, state):
+        t = T - i  # current frame whose pointers map state_t -> state_{t-1}
+        slot = t % 2
+        dma(slot, t).wait()
+
+        # select ptr[t, b, state_b]: split state into (half, bin)
+        half_sel = (state >= n_valid).astype(jnp.int32)  # [B]
+        bin_sel = state - half_sel * n_valid
+        row_v = buf[slot, :, 0, :]
+        row_u = buf[slot, :, 1, :]
+        row = jnp.where((half_sel == 1)[:, None], row_u, row_v)  # [B, NP]
+        hit = col == bin_sel[:, None]
+        prev = jnp.max(jnp.where(hit, row, jnp.int32(-1)), axis=1)  # [B]
+        out_ref[t - 1, :] = prev
+
+        # prefetch t-2 into this slot only AFTER the row has been consumed
+        # (t-2 shares slot parity with t); the loop stops at t=1, so never
+        # start a t=0 copy that would still be in flight at kernel exit
+        @pl.when(t >= 3)
+        def _():
+            dma((t - 2) % 2, t - 2).start()
+
+        return prev
+
+    jax.lax.fori_loop(1, T, step, state0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _backtrack_pallas_call(ptrs, last, *, n, interpret=False):
+    """ptrs [T, B, 2, NP] int32, last [B] int32 -> states [T, B] int32."""
+    t, b, _, np_ = ptrs.shape
+    t8 = _round_up(t, 8)
+    init = jnp.broadcast_to(last[:, None], (b, np_)).astype(jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_backtrack_kernel, T=t, B=b, NP=np_, n_valid=n),
+        out_shape=jax.ShapeDtypeStruct((t8, b), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, 2, np_), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ptrs, init)
+    return out[:t]
