@@ -76,3 +76,43 @@ def test_distributed_single_host():
     assert out == [{"a": 1}, "x"]
     # main_rank filtering on a single host returns the list (rank 0)
     assert gather_objects([1, 2], main_rank=0) == [1, 2]
+
+
+class TestCloudCache:
+    def test_local_fetch_and_cache(self, tmp_path):
+        from roar_tpu.utils.cloud import maybe_download_from_cloud
+
+        src = tmp_path / "weights.bin"
+        src.write_bytes(b"abc123")
+        out = maybe_download_from_cloud(
+            str(src), "weights.bin", subfolder="m", cache_dir=str(tmp_path / "cache")
+        )
+        assert out and open(out, "rb").read() == b"abc123"
+        # cached: source removal doesn't matter
+        src.unlink()
+        again = maybe_download_from_cloud(
+            str(src), "weights.bin", subfolder="m", cache_dir=str(tmp_path / "cache")
+        )
+        assert again == out
+
+    def test_file_url_and_refresh(self, tmp_path):
+        from roar_tpu.utils.cloud import maybe_download_from_cloud
+
+        src = tmp_path / "a.txt"
+        src.write_text("v1")
+        cache = str(tmp_path / "c")
+        out = maybe_download_from_cloud(f"file://{src}", "a.txt", cache_dir=cache)
+        assert open(out).read() == "v1"
+        src.write_text("v2")
+        out2 = maybe_download_from_cloud(
+            f"file://{src}", "a.txt", cache_dir=cache, refresh_cache=True
+        )
+        assert open(out2).read() == "v2"
+
+    def test_failure_returns_empty(self, tmp_path):
+        from roar_tpu.utils.cloud import maybe_download_from_cloud
+
+        out = maybe_download_from_cloud(
+            str(tmp_path / "missing.bin"), "missing.bin", cache_dir=str(tmp_path / "c")
+        )
+        assert out == ""
