@@ -27,11 +27,13 @@ import orbax.checkpoint as ocp
 
 
 class MetricsLogger:
-    """JSONL metrics log + optional TensorBoard + optional Weights&Biases.
+    """JSONL metrics log + optional TensorBoard / Weights&Biases / MLflow /
+    DLLogger fan-out.
 
-    Mirrors the reference logger fan-out (exp_manager.py:394-418): JSONL is
-    always on; TB and W&B are enabled per flag and degrade to no-ops when
-    the packages are missing (wandb is not in this image)."""
+    Mirrors the reference logger fan-out (exp_manager.py:394-418,758-834):
+    JSONL is always on; each backend is enabled per flag and degrades to a
+    no-op when its package is missing (wandb/mlflow/dllogger are not in
+    this image)."""
 
     def __init__(
         self,
@@ -39,6 +41,10 @@ class MetricsLogger:
         use_tensorboard: bool = True,
         use_wandb: bool = False,
         wandb_kwargs: Optional[Dict] = None,
+        use_mlflow: bool = False,
+        mlflow_kwargs: Optional[Dict] = None,
+        use_dllogger: bool = False,
+        dllogger_kwargs: Optional[Dict] = None,
     ):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -61,6 +67,32 @@ class MetricsLogger:
                 self._wandb = wandb.init(**kw)
             except Exception:
                 self._wandb = None
+        self._mlflow = None
+        if use_mlflow:
+            try:
+                import mlflow  # type: ignore
+
+                kw = dict(mlflow_kwargs or {})
+                if kw.get("tracking_uri"):
+                    mlflow.set_tracking_uri(kw["tracking_uri"])
+                if kw.get("experiment_name"):
+                    mlflow.set_experiment(kw["experiment_name"])
+                mlflow.start_run(run_name=kw.get("run_name"))
+                self._mlflow = mlflow
+            except Exception:
+                self._mlflow = None
+        self._dllogger = None
+        if use_dllogger:
+            try:
+                import dllogger  # type: ignore
+                from dllogger import JSONStreamBackend, Verbosity
+
+                kw = dict(dllogger_kwargs or {})
+                path = kw.get("json_file", str(self.log_dir / "dllogger.json"))
+                dllogger.init(backends=[JSONStreamBackend(Verbosity.DEFAULT, path)])
+                self._dllogger = dllogger
+            except Exception:
+                self._dllogger = None
 
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         rec = {"step": step, "time": time.time()}
@@ -72,6 +104,12 @@ class MetricsLogger:
                 self._tb.add_scalar(k, float(v), step)
         if self._wandb is not None:
             self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {k: float(v) for k, v in metrics.items()}, step=step
+            )
+        if self._dllogger is not None:
+            self._dllogger.log(step=step, data={k: float(v) for k, v in metrics.items()})
 
     def close(self) -> None:
         self._jsonl.close()
@@ -79,6 +117,10 @@ class MetricsLogger:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+        if self._dllogger is not None:
+            self._dllogger.flush()
 
 
 class PreemptionHandler:
@@ -116,6 +158,10 @@ class ExpManager:
     use_tensorboard: bool = True
     use_wandb: bool = False
     wandb_kwargs: Optional[Dict] = None
+    use_mlflow: bool = False
+    mlflow_kwargs: Optional[Dict] = None
+    use_dllogger: bool = False
+    dllogger_kwargs: Optional[Dict] = None
     max_time_seconds: Optional[float] = None
 
     def __post_init__(self):
@@ -125,7 +171,9 @@ class ExpManager:
         self.root.mkdir(parents=True, exist_ok=True)
         self.ckpt_dir = self.root / "checkpoints"
         self.logger = MetricsLogger(
-            self.root, self.use_tensorboard, self.use_wandb, self.wandb_kwargs
+            self.root, self.use_tensorboard, self.use_wandb, self.wandb_kwargs,
+            use_mlflow=self.use_mlflow, mlflow_kwargs=self.mlflow_kwargs,
+            use_dllogger=self.use_dllogger, dllogger_kwargs=self.dllogger_kwargs,
         )
         self._ckpt_mgr = ocp.CheckpointManager(
             self.ckpt_dir.absolute(),

@@ -185,6 +185,10 @@ def train_supervised(
         use_tensorboard=exp_cfg.get("create_tensorboard_logger", True),
         use_wandb=exp_cfg.get("create_wandb_logger", False),
         wandb_kwargs=exp_cfg.get("wandb_logger_kwargs"),
+        use_mlflow=exp_cfg.get("create_mlflow_logger", False),
+        mlflow_kwargs=exp_cfg.get("mlflow_logger_kwargs"),
+        use_dllogger=exp_cfg.get("create_dllogger_logger", False),
+        dllogger_kwargs=exp_cfg.get("dllogger_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
     )
     profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
@@ -293,6 +297,10 @@ def train_gan(
         use_tensorboard=exp_cfg.get("create_tensorboard_logger", True),
         use_wandb=exp_cfg.get("create_wandb_logger", False),
         wandb_kwargs=exp_cfg.get("wandb_logger_kwargs"),
+        use_mlflow=exp_cfg.get("create_mlflow_logger", False),
+        mlflow_kwargs=exp_cfg.get("mlflow_logger_kwargs"),
+        use_dllogger=exp_cfg.get("create_dllogger_logger", False),
+        dllogger_kwargs=exp_cfg.get("dllogger_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
     )
 
