@@ -23,9 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import numpy as np
 
 
-def timed(fn, sync, iters=5):
-    fn()  # warmup / compile
-    sync()
+def timed(fn, sync, iters=20):
+    # warmup: force the result so compilation cannot leak into the timed
+    # loop (async-compile backends return before the executable is ready)
+    sync(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
@@ -38,7 +39,7 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
-    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
 
     import jax
