@@ -212,3 +212,70 @@ class TestTorchStyleSchedules:
 
         np.testing.assert_allclose(float(sched(5)), 0.1, rtol=1e-5)
         np.testing.assert_allclose(float(sched(10)), 0.01, rtol=1e-5)
+
+
+class TestLoggerFanout:
+    def test_gated_backends_degrade_and_jsonl_works(self, tmp_path):
+        import json
+
+        from roar_tpu.training.exp_manager import MetricsLogger
+
+        lg = MetricsLogger(
+            tmp_path, use_tensorboard=False, use_wandb=True, use_mlflow=True,
+            use_dllogger=True,
+        )
+        lg.log_metrics({"loss": 0.5}, step=7)
+        lg.close()
+        rec = json.loads(open(tmp_path / "metrics.jsonl").readline())
+        assert rec["step"] == 7 and rec["loss"] == 0.5
+        # none of the optional packages exist in this image
+        assert lg._wandb is None and lg._mlflow is None and lg._dllogger is None
+
+
+def _capture_roar_log():
+    """The roar_tpu logger does not propagate (rank-decorated handler), so
+    attach a buffering handler directly."""
+    import io
+    import logging as pylog
+
+    buf = io.StringIO()
+    handler = pylog.StreamHandler(buf)
+    pylog.getLogger("roar_tpu").addHandler(handler)
+    return buf, handler
+
+
+class TestDecorators:
+    def test_deprecated_warns_once(self):
+        import logging as pylog
+
+        from roar_tpu.utils.decorators import deprecated
+
+        @deprecated(version="9.9")
+        def fn():
+            return 42
+
+        buf, handler = _capture_roar_log()
+        try:
+            assert fn() == 42
+            assert fn() == 42
+        finally:
+            pylog.getLogger("roar_tpu").removeHandler(handler)
+        assert buf.getvalue().count("deprecated") == 1
+
+    def test_experimental_class(self):
+        import logging as pylog
+
+        from roar_tpu.utils.decorators import experimental
+
+        @experimental
+        class Thing:
+            def __init__(self):
+                self.x = 1
+
+        buf, handler = _capture_roar_log()
+        try:
+            t = Thing()
+        finally:
+            pylog.getLogger("roar_tpu").removeHandler(handler)
+        assert t.x == 1
+        assert "experimental" in buf.getvalue()
