@@ -89,7 +89,7 @@ def main():
             jnp.sum(mel) + jnp.sum(energy) + jnp.sum(f0) + jnp.sum(vprob)
         ) + jnp.sum(mel_lens) + jnp.sum(voiced)
 
-    batch, seconds = 64, 10.0
+    batch, seconds = 128, 10.0  # throughput saturates ~128 (scripts/benchmarks sweep)
     audios = make_audio(batch, seconds, sr, seed=2)
     lens = np.array([len(a) for a in audios], np.int32)
     pad = int(np.ceil(lens.max() / 16384)) * 16384
