@@ -110,48 +110,35 @@ def _viterbi_kernel(
         w_cross = jnp.maximum(u_v + log_switch, u_u + log_stay)
         s_cross = ((u_u + log_stay) > (u_v + log_switch)).astype(jnp.float32)
 
-        # voiced half: band max over w_same, tracking source half
-        buf_ref[:, MARGIN : MARGIN + NP] = w_same
-        full_w = buf_ref[...]
-        best_v = jnp.full((B, NP), _NEG, jnp.float32)
-        off_v = jnp.zeros((B, NP), jnp.int32)
-        for o in range(W):
-            k = o - half + MARGIN
-            cand = pltpu.roll(full_w, shift=SIZE - k, axis=1)[:, :NP] + float(tri[o])
-            take = cand > best_v
-            best_v = jnp.where(take, cand, best_v)
-            off_v = jnp.where(take, o, off_v)
-        # second pass: roll the source-half selector by the winning offset
-        buf_ref[:, MARGIN : MARGIN + NP] = s_same
-        full_s = buf_ref[...]
-        sel_v = jnp.zeros((B, NP), jnp.float32)
-        for o in range(W):
-            k = o - half + MARGIN
-            rolled = pltpu.roll(full_s, shift=SIZE - k, axis=1)[:, :NP]
-            sel_v = jnp.where(off_v == o, rolled, sel_v)
-        src_v = jnp.clip(col - half + off_v, 0, n_valid - 1)
-        ptr_v = src_v + (sel_v > 0.5).astype(jnp.int32) * n_valid
+        # Band max-convolution per target half: pass 1 finds the best
+        # offset per bin (W rolls of the value buffer), pass 2 rolls the
+        # source-half selector and picks it at the winning offset.
+        def band_pass(w_vals, s_vals):
+            buf_ref[:, MARGIN : MARGIN + NP] = w_vals
+            full_w = buf_ref[...]
+            best = jnp.full((B, NP), _NEG, jnp.float32)
+            off = jnp.zeros((B, NP), jnp.int32)
+            sel = jnp.zeros((B, NP), jnp.float32)
+            for o in range(W):
+                k = o - half + MARGIN
+                cand = (
+                    pltpu.roll(full_w, shift=SIZE - k, axis=1)[:, :NP]
+                    + float(tri[o])
+                )
+                take = cand > best
+                best = jnp.where(take, cand, best)
+                off = jnp.where(take, o, off)
+            buf_ref[:, MARGIN : MARGIN + NP] = s_vals
+            full_s = buf_ref[...]
+            for o in range(W):
+                k = o - half + MARGIN
+                rolled = pltpu.roll(full_s, shift=SIZE - k, axis=1)[:, :NP]
+                sel = jnp.where(off == o, rolled, sel)
+            src = jnp.clip(col - half + off, 0, n_valid - 1)
+            return best, src + (sel > 0.5).astype(jnp.int32) * n_valid
 
-        # unvoiced half
-        buf_ref[:, MARGIN : MARGIN + NP] = w_cross
-        full_w = buf_ref[...]
-        best_u = jnp.full((B, NP), _NEG, jnp.float32)
-        off_u = jnp.zeros((B, NP), jnp.int32)
-        for o in range(W):
-            k = o - half + MARGIN
-            cand = pltpu.roll(full_w, shift=SIZE - k, axis=1)[:, :NP] + float(tri[o])
-            take = cand > best_u
-            best_u = jnp.where(take, cand, best_u)
-            off_u = jnp.where(take, o, off_u)
-        buf_ref[:, MARGIN : MARGIN + NP] = s_cross
-        full_s = buf_ref[...]
-        sel_u2 = jnp.zeros((B, NP), jnp.float32)
-        for o in range(W):
-            k = o - half + MARGIN
-            rolled = pltpu.roll(full_s, shift=SIZE - k, axis=1)[:, :NP]
-            sel_u2 = jnp.where(off_u == o, rolled, sel_u2)
-        src_u = jnp.clip(col - half + off_u, 0, n_valid - 1)
-        ptr_u = src_u + (sel_u2 > 0.5).astype(jnp.int32) * n_valid
+        best_v, ptr_v = band_pass(w_same, s_same)
+        best_u, ptr_u = band_pass(w_cross, s_cross)
 
         vv_new = jnp.where(valid_col, best_v + obs_buf[slot, :, 0, :], _NEG)
         vu_new = jnp.where(valid_col, best_u + obs_buf[slot, :, 1, :], _NEG)
