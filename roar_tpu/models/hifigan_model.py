@@ -66,7 +66,12 @@ class HifiGanModel:
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, batch: Dict[str, np.ndarray]):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # drop non-numeric collate extras (e.g. audio_filepaths)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if not isinstance(v, (str, list, tuple))
+        }
 
         # one jitted program: eager init would dispatch each tiny init op
         # separately, which is pathological on remote-dispatch backends

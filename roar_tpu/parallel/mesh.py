@@ -49,8 +49,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host pytree of [B, ...] arrays with batch sharded over 'data'."""
+    """Place a host pytree of [B, ...] arrays with batch sharded over 'data'.
+
+    Non-numeric leaves (e.g. the audio_filepaths list some collates carry
+    for artifact logging) are dropped — they have no device representation
+    and the jitted steps never read them."""
     n_data = mesh.shape["data"]
+    if isinstance(batch, dict):
+        batch = {
+            k: v
+            for k, v in batch.items()
+            if not (
+                isinstance(v, (list, tuple)) and v and isinstance(v[0], str)
+            )
+            and not isinstance(v, str)
+            and not (
+                isinstance(v, np.ndarray) and not np.issubdtype(v.dtype, np.number)
+                and not np.issubdtype(v.dtype, np.bool_)
+            )
+        }
 
     def put(x):
         x = np.asarray(x)

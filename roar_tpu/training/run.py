@@ -29,8 +29,18 @@ def build_tts_dataset(ds_cfg: Dict[str, Any], tokenizer) -> TTSDataset:
     return TTSDataset(**kwargs)
 
 
-def build_vocoder_dataset(ds_cfg: Dict[str, Any]) -> VocoderDataset:
+def build_vocoder_dataset(ds_cfg: Dict[str, Any]):
+    """Instantiate either vocoder dataset family: the classic
+    manifest_filepath VocoderDataset, or — when the `_target_`/keys name the
+    new-style dataset — the dataset_meta-driven one
+    (data/vocoder_dataset.py, conf/hifigan_dataset recipes)."""
     kwargs = {k: v for k, v in ds_cfg.items() if k != "_target_"}
+    target = ds_cfg.get("_target_", "")
+    if "dataset_meta" in kwargs or "vocoder_dataset" in target:
+        from roar_tpu.data.vocoder_dataset import VocoderDataset as MetaVocoderDataset
+
+        kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        return MetaVocoderDataset(**kwargs)
     return VocoderDataset(**kwargs)
 
 
