@@ -389,3 +389,55 @@ def test_generate_mels_script(tmp_path):
         assert mel.shape[0] == 16  # [n_mel, T]
         assert mel.shape[1] > 10
         assert np.isfinite(mel).all()
+
+
+class TestVocoderDatasetRouting:
+    def _corpus(self, tmp_path):
+        import json
+        import wave
+
+        import numpy as np
+
+        sr = 22050
+        t = np.arange(sr) / sr
+        x = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+        wav = tmp_path / "r.wav"
+        with wave.open(str(wav), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(x.tobytes())
+        mf = tmp_path / "m.json"
+        mf.write_text(json.dumps({"audio_filepath": str(wav), "text": "x",
+                                  "duration": 1.0}) + "\n")
+        return mf
+
+    def test_classic_manifest_config(self, tmp_path):
+        from roar_tpu.data.dataset import VocoderDataset
+        from roar_tpu.training.run import build_vocoder_dataset
+
+        mf = self._corpus(tmp_path)
+        ds = build_vocoder_dataset(
+            {"_target_": "roar_tpu.data.dataset.VocoderDataset",
+             "manifest_filepath": str(mf), "sample_rate": 22050,
+             "n_segments": 2048}
+        )
+        assert isinstance(ds, VocoderDataset)
+        assert ds[0]["audio"].shape == (2048,)
+
+    def test_dataset_meta_config(self, tmp_path):
+        from roar_tpu.data.vocoder_dataset import VocoderDataset as MetaDS
+        from roar_tpu.training.run import build_vocoder_dataset
+
+        mf = self._corpus(tmp_path)
+        ds = build_vocoder_dataset(
+            {"_target_": "roar_tpu.data.vocoder_dataset.VocoderDataset",
+             "dataset_meta": {"a": {"manifest_path": str(mf),
+                                    "audio_dir": str(tmp_path)}},
+             "sample_rate": 22050, "n_samples": 2048,
+             "weighted_sampling_steps_per_epoch": None}
+        )
+        assert isinstance(ds, MetaDS)
+        batch = ds.collate([ds[0]])
+        assert batch["audio"].shape[0] == 1
+        assert "audio_filepaths" in batch
