@@ -135,6 +135,7 @@ class FastPitchModel:
         self.cfg = cfg
         tok_cfg = cfg.get("text_tokenizer")
         self.tokenizer = instantiate(tok_cfg) if tok_cfg else None
+        self._setup_normalizer(cfg)
         n_symbols = cfg.get("n_symbols") or len(self.tokenizer.tokens)
         padding_idx = (
             self.tokenizer.pad if self.tokenizer is not None else cfg.get("padding_idx", 0)
@@ -309,12 +310,45 @@ class FastPitchModel:
         )
         return out["spect"], out["num_frames"]
 
+    def _setup_normalizer(self, cfg: Dict[str, Any]) -> None:
+        """Optional text normalizer applied in parse() before tokenization
+        (ref models/fastpitch.py:82-111 _setup_normalizer).  Accepts a
+        callable directly, or a `_target_` config (e.g. the reference's
+        nemo_text_processing Normalizer — degrades to a warning when the
+        target package is absent in this image)."""
+        self.normalizer_call = None
+        self.text_normalizer_call_kwargs = dict(
+            cfg.get("text_normalizer_call_kwargs") or {}
+        )
+        norm_cfg = cfg.get("text_normalizer")
+        if norm_cfg is None:
+            return
+        if callable(norm_cfg):
+            self.normalizer_call = norm_cfg
+            return
+        try:
+            normalizer = instantiate(norm_cfg)
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"text_normalizer could not be instantiated ({e}); "
+                "parse() will skip normalization"
+            )
+            return
+        # the reference calls .normalize on Normalizer instances, else the
+        # object itself (models/fastpitch.py:100-104)
+        self.normalizer_call = getattr(normalizer, "normalize", normalizer)
+
     def parse(self, text: str) -> np.ndarray:
-        """Text -> token ids (models/fastpitch.py:277-309, minus normalizer):
-        the tokenizer when alignment is learned, otherwise an ENCharParser
-        over the tokenizer's charset (the reference's `self.parser` path)."""
+        """Text -> token ids (models/fastpitch.py:277-309): optional
+        normalizer, then the tokenizer when alignment is learned, otherwise
+        an ENCharParser over the tokenizer's charset (the reference's
+        `self.parser` path)."""
         if self.tokenizer is None:
             raise ValueError("No tokenizer configured")
+        if self.normalizer_call is not None:
+            text = self.normalizer_call(text, **self.text_normalizer_call_kwargs)
         if self.learn_alignment:
             return np.asarray(self.tokenizer(text), np.int32)[None]
         from roar_tpu.data.parsers import make_parser

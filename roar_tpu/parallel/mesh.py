@@ -53,7 +53,14 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     Non-numeric leaves (e.g. the audio_filepaths list some collates carry
     for artifact logging) are dropped — they have no device representation
-    and the jitted steps never read them."""
+    and the jitted steps never read them.
+
+    A ragged batch (B not divisible by the 'data' axis — e.g. the final
+    batch of an epoch under drop_last=False) is padded by duplicating the
+    last example, the same semantics as torch's DistributedSampler wrapping
+    indices to make the epoch evenly divisible (the reference's DDP path).
+    Duplicates slightly overweight that example in the step's mean loss;
+    exact epoch metrics come from the full (non-ragged) batches."""
     n_data = mesh.shape["data"]
     if isinstance(batch, dict):
         batch = {
@@ -72,11 +79,8 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     def put(x):
         x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % n_data != 0:
-            raise ValueError(
-                f"Batch dim {x.shape[0]} not divisible by data-parallel "
-                f"size {n_data}; choose batch_size as a multiple of the "
-                f"mesh 'data' axis"
-            )
+            pad = n_data - x.shape[0] % n_data
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 

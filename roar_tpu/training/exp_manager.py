@@ -123,6 +123,61 @@ class MetricsLogger:
             self._dllogger.flush()
 
 
+@dataclasses.dataclass
+class EarlyStopping:
+    """Stop training when a monitored validation metric stops improving.
+
+    Mirrors the reference's EarlyStoppingParams defaults
+    (roar/utils/exp_manager.py:125-139, wired at :434-436): monitor a
+    `val_*` metric, `min`/`max` mode, `min_delta` improvement threshold,
+    `patience` counted in validation rounds, and stop on non-finite values
+    when `check_finite`.
+    """
+
+    monitor: str = "val_loss"
+    mode: str = "min"
+    min_delta: float = 0.001
+    patience: int = 10
+    check_finite: bool = True
+    verbose: bool = True
+
+    def __post_init__(self):
+        if self.mode not in ("min", "max"):
+            raise ValueError(f"EarlyStopping mode must be min|max, got {self.mode!r}")
+        self.best: Optional[float] = None
+        self.wait = 0
+        self.stopped = False
+
+    def update(self, metrics: Dict[str, float]) -> bool:
+        """Feed one validation round's metrics; returns True to stop."""
+        if self.monitor not in metrics:
+            return self.stopped
+        value = float(metrics[self.monitor])
+        if self.check_finite and not np.isfinite(value):
+            self.stopped = True
+        else:
+            improved = self.best is None or (
+                value < self.best - self.min_delta
+                if self.mode == "min"
+                else value > self.best + self.min_delta
+            )
+            if improved:
+                self.best = value
+                self.wait = 0
+            else:
+                self.wait += 1
+                if self.wait >= self.patience:
+                    self.stopped = True
+        if self.stopped and self.verbose:
+            from roar_tpu.utils.logging import get_logger
+
+            get_logger().info(
+                f"Early stopping: {self.monitor}={value:.6g} "
+                f"(best {self.best}, patience {self.wait}/{self.patience})"
+            )
+        return self.stopped
+
+
 class PreemptionHandler:
     """SIGTERM/SIGINT -> set flag; the train loop checks it per step and
     saves before exit (preemption.py:10-90 semantics, no rank broadcast
@@ -163,6 +218,7 @@ class ExpManager:
     use_dllogger: bool = False
     dllogger_kwargs: Optional[Dict] = None
     max_time_seconds: Optional[float] = None
+    early_stopping: Optional[Dict] = None  # EarlyStopping kwargs, or None
 
     def __post_init__(self):
         self.root = Path(self.exp_dir) / self.name
@@ -183,6 +239,11 @@ class ExpManager:
         )
         self.preemption = PreemptionHandler().install()
         self._start_time = time.monotonic()
+        self.early_stopper = (
+            EarlyStopping(**self.early_stopping)
+            if self.early_stopping is not None
+            else None
+        )
 
     # -- checkpointing ---------------------------------------------------
     def save(self, state, metrics: Optional[Dict[str, float]] = None) -> None:
@@ -217,8 +278,17 @@ class ExpManager:
         return restored, int(np.asarray(restored.step))
 
     # -- run control -----------------------------------------------------
+    def check_early_stop(self, val_metrics: Dict[str, float]) -> bool:
+        """Feed one validation round to the early stopper (no-op if
+        early stopping is not configured); returns True to stop."""
+        if self.early_stopper is None:
+            return False
+        return self.early_stopper.update(val_metrics)
+
     def should_stop(self) -> bool:
         if self.preemption.should_stop:
+            return True
+        if self.early_stopper is not None and self.early_stopper.stopped:
             return True
         if (
             self.max_time_seconds is not None

@@ -92,6 +92,18 @@ class ProfilerWindow:
             self._active = False
 
 
+def _early_stopping_cfg(exp_cfg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """Translate the reference exp_manager keys
+    (`create_early_stopping_callback` + `early_stopping_callback_params`,
+    roar/utils/exp_manager.py:270-272,434-436) into EarlyStopping kwargs;
+    Lightning-only params (strict/log_rank_zero_only/...) are dropped."""
+    if not exp_cfg.get("create_early_stopping_callback", False):
+        return None
+    params = exp_cfg.get("early_stopping_callback_params") or {}
+    keep = ("monitor", "mode", "min_delta", "patience", "check_finite", "verbose")
+    return {k: params[k] for k in keep if k in params}
+
+
 def _map_precision(value) -> Optional[str]:
     """Reference trainer `precision` values -> our mixed-precision mode.
     16/'16'/'16-mixed' map to bf16 (the TPU AMP analogue; no loss scaling),
@@ -200,6 +212,7 @@ def train_supervised(
         use_dllogger=exp_cfg.get("create_dllogger_logger", False),
         dllogger_kwargs=exp_cfg.get("dllogger_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
+        early_stopping=_early_stopping_cfg(exp_cfg),
     )
     profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
     prof_cb = profiler.as_callback()
@@ -251,12 +264,15 @@ def train_supervised(
             val_metrics = trainer.evaluate(
                 eval_fn, state, batch_iterator(val_dataset, val_sampler, buckets)
             )
+            val_logged = {f"val_{k}": v for k, v in val_metrics.items()}
             exp.logger.log_metrics(
-                {f"val_{k}": v for k, v in val_metrics.items()},
-                step=int(jax.device_get(state.step)),
+                val_logged, step=int(jax.device_get(state.step))
             )
             if artifacts is not None:
                 _log_tts_artifacts(artifacts, model, state, val_dataset, epoch)
+            if exp.check_early_stop(val_logged):
+                exp.save(state, metrics)
+                break
         exp.save(state, metrics)
     profiler.close()
     exp.close()
@@ -312,6 +328,7 @@ def train_gan(
         use_dllogger=exp_cfg.get("create_dllogger_logger", False),
         dllogger_kwargs=exp_cfg.get("dllogger_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
+        early_stopping=_early_stopping_cfg(exp_cfg),
     )
 
     first = list(iter(sampler))[0]
@@ -371,10 +388,11 @@ def train_gan(
                     totals[k] = totals.get(k, 0.0) + float(v)
                 n += 1
             if n:
+                val_logged = {f"val_{k}": v / n for k, v in totals.items()}
                 exp.logger.log_metrics(
-                    {f"val_{k}": v / n for k, v in totals.items()},
-                    step=int(jax.device_get(state.step)),
+                    val_logged, step=int(jax.device_get(state.step))
                 )
+                exp.check_early_stop(val_logged)
         exp.save(state, {k: float(v) for k, v in metrics.items()})
         if exp.should_stop():
             break

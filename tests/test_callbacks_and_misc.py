@@ -279,3 +279,47 @@ class TestDecorators:
             pylog.getLogger("roar_tpu").removeHandler(handler)
         assert t.x == 1
         assert "experimental" in buf.getvalue()
+
+
+class TestEarlyStopping:
+    """EarlyStopping unit semantics (ref exp_manager.py:125-139,434-436)."""
+
+    def _es(self, **kw):
+        from roar_tpu.training.exp_manager import EarlyStopping
+
+        return EarlyStopping(**kw)
+
+    def test_min_mode_patience(self):
+        es = self._es(monitor="val_loss", mode="min", min_delta=0.0, patience=2)
+        assert not es.update({"val_loss": 1.0})
+        assert not es.update({"val_loss": 0.9})   # improved
+        assert not es.update({"val_loss": 0.95})  # wait=1
+        assert es.update({"val_loss": 0.95})      # wait=2 == patience -> stop
+        assert es.stopped
+
+    def test_min_delta_counts_as_no_improvement(self):
+        es = self._es(monitor="val_loss", min_delta=0.5, patience=1)
+        es.update({"val_loss": 1.0})
+        assert es.update({"val_loss": 0.8})  # improvement < min_delta
+        assert es.stopped
+
+    def test_max_mode(self):
+        es = self._es(monitor="val_acc", mode="max", min_delta=0.0, patience=1)
+        assert not es.update({"val_acc": 0.5})
+        assert not es.update({"val_acc": 0.6})
+        assert es.update({"val_acc": 0.55})
+
+    def test_non_finite_stops(self):
+        es = self._es(monitor="val_loss", check_finite=True)
+        assert es.update({"val_loss": float("nan")})
+
+    def test_missing_monitor_is_noop(self):
+        es = self._es(monitor="val_loss", patience=0)
+        assert not es.update({"other": 1.0})
+        assert not es.stopped
+
+    def test_bad_mode_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._es(mode="sideways")

@@ -51,6 +51,7 @@ def test_instantiate_with_alias():
         "hifigan_22050",
         "hifigan_44100",
         "jets_22050_align",
+        "jets_22050_conformer",
         "aligner",
         "ds_for_fastpitch_align",
     ],
@@ -73,6 +74,15 @@ def test_shipped_configs_load(name):
     if name.startswith("jets"):
         gen = cfg["model"]["waveform_generator"]
         assert int(np.prod(gen["upsample_rates"])) == cfg["n_window_stride"]
+    if name == "jets_22050_conformer":
+        for k in ("input_fft", "output_fft"):
+            fft = cfg["model"][k]
+            assert fft["encoder_type"] == "conformer"
+            assert fft["use_rope"] is True
+            assert fft["kernel_size"] == 31
+            # inherited from the base recipe via _file_ include
+            assert fft["d_model"] == cfg["model"]["symbols_embedding_dim"]
+            assert fft["n_layer"] == 6
 
 
 def test_fastpitch_model_from_shipped_config():

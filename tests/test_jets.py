@@ -133,6 +133,37 @@ def test_roar_tts_gan_step(jets_setup):
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_jets_conformer_rope_gan_step(jets_setup):
+    """Conformer/RoPE encoder+decoder variant (configs/jets_22050_conformer.yaml,
+    BASELINE configs[4]): one GAN step trains and inference runs."""
+    cfg = jets_cfg()
+    for k in ("input_fft", "output_fft"):
+        cfg[k] = {
+            **cfg[k],
+            "encoder_type": "conformer",
+            "kernel_size": 7,
+            "use_rope": True,
+            "use_flash": True,  # runtime-gated to TPU; SDPA fallback on CPU
+        }
+    model = JETSModel(cfg)
+    _, batch = jets_setup
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4}, gradient_clip_val=1000.0)
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4}, gradient_clip_val=1000.0)
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+    step = model.make_train_step(g_opt, d_opt)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), 0)
+    for k in ("d_loss", "g_loss", "g_mel_loss", "ctc_loss"):
+        assert np.isfinite(float(metrics[k])), (k, float(metrics[k]))
+    # conformer layers actually in the graph (conv module param present)
+    flat = jax.tree_util.tree_leaves_with_path(state.g_params)
+    assert any("convolutional_block" in jax.tree_util.keystr(p) for p, _ in flat)
+    wav, _ = model.convert_text_to_waveform(
+        state.g_params, batch["text"], max_mel_len=64
+    )
+    assert wav.shape == (2, 64 * model.hop_length)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
 def test_speech_prompt_encoder():
     from roar_tpu.models.roar_tts import SpeechPromptEncoder
 

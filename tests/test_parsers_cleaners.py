@@ -114,6 +114,81 @@ class TestCharParser:
         assert p(None) is None
 
 
+class TestTextNormalizerInjection:
+    """FastPitchModel.parse applies an optional text_normalizer before
+    tokenization (ref models/fastpitch.py:82-111,288-309)."""
+
+    def _model(self, **extra):
+        from roar_tpu.models.fastpitch_model import FastPitchModel
+
+        cfg = {
+            "learn_alignment": True,
+            "symbols_embedding_dim": 16,
+            "n_mel_channels": 8,
+            "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 16, "d_head": 8, "d_inner": 16},
+            "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 16, "d_head": 8, "d_inner": 16},
+            "alignment_module": {"n_text_channels": 16, "n_att_channels": 8},
+            "duration_predictor": {"input_size": 16, "filter_size": 8},
+            "pitch_predictor": {"input_size": 16, "filter_size": 8},
+            "text_tokenizer": {
+                "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+                "pad_with_space": True,
+            },
+            **extra,
+        }
+        return FastPitchModel(cfg)
+
+    def test_callable_normalizer_applied(self):
+        calls = []
+
+        def norm(text, **kw):
+            calls.append((text, kw))
+            return text.replace("2", "two")
+
+        m = self._model(
+            text_normalizer=norm,
+            text_normalizer_call_kwargs={"verbose": False},
+        )
+        ids = m.parse("2 cats")
+        assert calls == [("2 cats", {"verbose": False})]
+        # parse tokenized the NORMALIZED text
+        m2 = self._model()
+        import numpy as np
+
+        np.testing.assert_array_equal(ids, m2.parse("two cats"))
+
+    def test_target_normalizer_with_normalize_method(self):
+        m = self._model(
+            text_normalizer={
+                "_target_": "tests.test_parsers_cleaners._ExclaimNormalizer"
+            }
+        )
+        # .normalize was bound and applied before tokenization
+        m2 = self._model()
+        import numpy as np
+
+        np.testing.assert_array_equal(m.parse("abc"), m2.parse("abc!"))
+
+    def test_missing_target_degrades_with_warning(self):
+        import warnings as w
+
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            m = self._model(
+                text_normalizer={"_target_": "nemo_text_processing.Normalizer"}
+            )
+        assert m.normalizer_call is None
+        assert any("text_normalizer" in str(r.message) for r in rec)
+        assert m.parse("hello").size > 0  # parse still works
+
+
+class _ExclaimNormalizer:
+    """Stand-in for the reference Normalizer: exposes .normalize()."""
+
+    def normalize(self, text, **kw):
+        return text + "!"
+
+
 if __name__ == "__main__":
     import sys
 

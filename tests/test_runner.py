@@ -107,6 +107,41 @@ def test_train_supervised_aligner_end_to_end(corpus):
     assert (durs.sum(-1) > 0).all()
 
 
+def test_train_supervised_early_stopping(corpus):
+    """create_early_stopping_callback stops training before max_epochs when
+    the monitored val metric plateaus (ref exp_manager.py:434-436): with an
+    unreachable min_delta, round 1 sets best, round 2 is 'no improvement'
+    and patience=0 stops — 2 of 6 epochs run."""
+    root, man, sr = corpus
+    cfg = aligner_cfg(root, man)
+    cfg["trainer"]["max_epochs"] = 6
+    cfg["trainer"]["check_val_every_n_epoch"] = 1
+    cfg["exp_manager"]["name"] = "aligner_es"
+    cfg["exp_manager"]["create_early_stopping_callback"] = True
+    cfg["exp_manager"]["early_stopping_callback_params"] = {
+        "monitor": "val_loss",
+        "mode": "min",
+        "min_delta": 1e9,
+        "patience": 0,
+        "strict": True,  # Lightning-only key: must be tolerated, not passed
+    }
+    model = AlignerModel(cfg["model"])
+    ds = TTSDataset(
+        manifest_filepath=str(man),
+        sample_rate=sr,
+        text_tokenizer=model.tokenizer,
+        sup_data_path=str(root / "sup"),
+        sup_data_types=["align_prior_matrix"],
+        n_fft=1024,
+        win_length=1024,
+        hop_length=256,
+        n_mels=24,
+        highfreq=8000,
+    )
+    state = train_supervised(cfg, model, ds, ds, buckets=BucketSpec(8, 16, 8192))
+    assert int(np.asarray(jax.device_get(state.step))) == 2  # stopped early
+
+
 def test_train_gan_hifigan_end_to_end(corpus):
     """train_gan glue: VocoderDataset -> HifiGanModel for one epoch."""
     from roar_tpu.data import VocoderDataset
