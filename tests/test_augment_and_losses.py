@@ -1,6 +1,7 @@
 """SpecAugment, perturbations, STFT losses, concat datasets."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,175 @@ def test_perturbations():
 
     aug = AudioAugmentor([(1.0, GainPerturbation(0.0, 0.0))])
     np.testing.assert_allclose(aug.perturb(x, sr), x, atol=1e-6)
+
+
+def test_time_stretch_preserves_pitch():
+    """Phase-vocoder stretch changes duration, not the dominant frequency
+    (ref perturb.py:146-260)."""
+    from roar_tpu.data.perturb import TimeStretchPerturbation
+
+    rng = np.random.default_rng(0)
+    sr, f0 = 16000, 440.0
+    x = np.sin(2 * np.pi * f0 * np.arange(2 * sr) / sr).astype(np.float32)
+
+    def dominant_freq(sig):
+        spec = np.abs(np.fft.rfft(sig * np.hanning(len(sig))))
+        return np.argmax(spec) * sr / len(sig)
+
+    for rate in (0.8, 1.25):
+        y = TimeStretchPerturbation(rate, rate, num_rates=1).perturb(x, sr, rng)
+        assert abs(len(y) - len(x) / rate) <= 2, (rate, len(y))
+        # analyze the interior (edges have vocoder transients)
+        mid = y[len(y) // 4 : -len(y) // 4]
+        assert abs(dominant_freq(mid) - f0) < 10.0, (rate, dominant_freq(mid))
+    # identity rate short-circuits
+    y = TimeStretchPerturbation(1.0, 1.0, num_rates=1).perturb(x, sr, rng)
+    np.testing.assert_array_equal(y, x)
+
+
+def test_silence_perturbation():
+    from roar_tpu.data.perturb import SilencePerturbation
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    x = np.ones(sr, np.float32)
+    p = SilencePerturbation(0.5, 0.5, 0.25, 0.25)
+    y = p.perturb(x, sr, rng)
+    assert len(y) == sr + sr // 2 + sr // 4
+    assert (y[: sr // 2] == 0).all() and (y[-sr // 4 :] == 0).all()
+    assert p.max_augmentation_length(1.0) == 1.75
+
+
+def test_impulse_perturbation(tmp_path):
+    """Convolving with a pure delta-delayed RIR shifts the signal; with
+    shift_impulse the delay is compensated (ref perturb.py:327-400)."""
+    from roar_tpu.data import write_manifest, write_wav
+    from roar_tpu.data.perturb import ImpulsePerturbation
+
+    sr, delay = 16000, 100
+    ir = np.zeros(sr // 4, np.float32)
+    ir[delay] = 1.0
+    p = tmp_path / "rir.wav"
+    write_wav(str(p), ir, sr)
+    man = tmp_path / "rir.json"
+    write_manifest(man, [{"audio_filepath": str(p), "duration": 0.25, "text": ""}])
+
+    rng = np.random.default_rng(0)
+    x = np.sin(2 * np.pi * 200 * np.arange(sr) / sr).astype(np.float32)
+    y = ImpulsePerturbation(str(man)).perturb(x, sr, rng)
+    assert y.shape == x.shape
+    # delayed copy, renormalized to unit peak
+    ref = np.concatenate([np.zeros(delay, np.float32), x[:-delay]])
+    np.testing.assert_allclose(y, ref / np.abs(ref).max(), atol=1e-4)
+    # shift_impulse compensates the delay
+    y2 = ImpulsePerturbation(str(man), shift_impulse=True).perturb(x, sr, rng)
+    np.testing.assert_allclose(y2, x / np.abs(x).max(), atol=1e-4)
+
+
+def test_rir_and_noise_perturbation(tmp_path):
+    from roar_tpu.data import write_manifest, write_wav
+    from roar_tpu.data.perturb import RirAndNoisePerturbation
+
+    sr = 16000
+    rng_np = np.random.default_rng(1)
+    ir = np.zeros(400, np.float32)
+    ir[0] = 1.0
+    noise = 0.1 * rng_np.standard_normal(sr).astype(np.float32)
+    paths = {}
+    for name, sig, dur in (("rir", ir, 0.025), ("noise", noise, 1.0)):
+        p = tmp_path / f"{name}.wav"
+        write_wav(str(p), sig, sr)
+        man = tmp_path / f"{name}.json"
+        write_manifest(man, [{"audio_filepath": str(p), "duration": dur, "text": ""}])
+        paths[name] = str(man)
+
+    pert = RirAndNoisePerturbation(
+        rir_manifest_path=paths["rir"], rir_prob=1.0,
+        noise_manifest_paths=[paths["noise"]], min_snr_db=10, max_snr_db=10,
+        bg_noise_manifest_paths=[paths["noise"]], bg_min_snr_db=20, bg_max_snr_db=20,
+        max_duration=0.5, max_additions=2,
+    )
+    rng = np.random.default_rng(0)
+    x = np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
+    y = pert.perturb(x, sr, rng)
+    assert y.shape == x.shape and np.isfinite(y).all()
+    assert not np.allclose(y, x)
+
+
+def test_transcode_g711():
+    """Native G.711 path: band-limits to telephone band (no sox needed)."""
+    from roar_tpu.data.perturb import TranscodePerturbation
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(sr) / sr
+    in_band = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    out_band = 0.5 * np.sin(2 * np.pi * 6000 * t)  # above 3.4 kHz cutoff
+    x = (in_band + out_band).astype(np.float32)
+    y = TranscodePerturbation(["g711"]).perturb(x, sr, rng)
+    assert y.shape == x.shape
+    spec = np.abs(np.fft.rfft(y))
+    freqs = np.fft.rfftfreq(len(y), 1 / sr)
+    e_in = spec[(freqs > 900) & (freqs < 1100)].max()
+    e_out = spec[(freqs > 5900) & (freqs < 6100)].max()
+    assert e_out < 0.05 * e_in, (e_in, e_out)  # 6 kHz component removed
+
+
+def test_random_segment_perturbation():
+    from roar_tpu.data.perturb import RandomSegmentPerturbation
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    x = np.arange(sr, dtype=np.float32)
+    y = RandomSegmentPerturbation(duration_sec=0.25).perturb(x, sr, rng)
+    assert len(y) == sr // 4
+    assert (np.diff(y) == 1).all()  # contiguous crop
+    with pytest.raises(ValueError):
+        RandomSegmentPerturbation(duration_sec=2.0).perturb(x, sr, rng)
+    y = RandomSegmentPerturbation(duration_sec=2.0, pad_to_duration=True).perturb(x, sr, rng)
+    assert len(y) == 2 * sr and (y[sr:] == 0).all()
+
+
+def test_process_augmentations_registry():
+    from roar_tpu.data.perturb import (
+        AudioAugmentor,
+        Perturbation,
+        perturbation_types,
+        process_augmentations,
+        register_perturbation,
+    )
+
+    aug = process_augmentations(
+        {
+            "white_noise": {"prob": 1.0, "min_level": -60, "max_level": -60},
+            "gain": {"prob": 0.5, "min_gain_dbfs": -3, "max_gain_dbfs": 3},
+        }
+    )
+    assert isinstance(aug, AudioAugmentor)
+    assert len(aug.perturbations) == 2
+    assert aug.perturbations[0][0] == 1.0 and aug.perturbations[1][0] == 0.5
+    x = np.zeros(1000, np.float32)
+    assert not np.allclose(aug.perturb(x, 16000), x)  # white noise applied
+
+    assert process_augmentations(None) is None
+    assert process_augmentations(aug) is aug
+    with pytest.raises(KeyError):
+        process_augmentations({"nope": {}})
+    with pytest.raises(ValueError):
+        process_augmentations({"gain": {"prob": 2.0}})
+
+    class MyPert(Perturbation):
+        def perturb(self, samples, sample_rate, rng):
+            return samples * 2
+
+    register_perturbation("double_test", MyPert)
+    try:
+        aug2 = process_augmentations({"double_test": {"prob": 1.0}})
+        np.testing.assert_allclose(aug2.perturb(np.ones(8, np.float32), 16000), 2.0)
+        with pytest.raises(KeyError):
+            register_perturbation("double_test", MyPert)
+    finally:
+        perturbation_types.pop("double_test", None)
 
 
 def test_stft_losses_zero_for_identical():
