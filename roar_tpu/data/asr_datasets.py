@@ -62,6 +62,7 @@ class _AudioTextDataset:
         pad_id: int = 0,
         audio_multiple: int = 16000,
         text_multiple: int = 16,
+        augmentor=None,
     ):
         entries = read_manifest(manifest_filepath)
         entries, _, _ = filter_by_duration(entries, min_duration, max_duration)
@@ -76,6 +77,11 @@ class _AudioTextDataset:
         self.audio_multiple = audio_multiple
         self.text_multiple = text_multiple
         self.lengths = [float(e.get("duration", 0.0)) for e in entries]
+        # online augmentation: AudioAugmentor or the reference YAML dict
+        # format {name: {prob, **kwargs}} (audio_to_text.py augmentor arg)
+        from roar_tpu.data.perturb import process_augmentations
+
+        self.augmentor = process_augmentations(augmentor)
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -90,9 +96,12 @@ class _AudioTextDataset:
             duration=e.get("duration"),
         )
         tokens = np.asarray(self.parser(e.get("text", "")), np.int32)
+        samples = seg.samples.astype(np.float32)
+        if self.augmentor is not None:
+            samples = self.augmentor.perturb(samples, self.sample_rate)
         item = {
-            "audio": seg.samples.astype(np.float32),
-            "audio_len": np.int32(len(seg.samples)),
+            "audio": samples,
+            "audio_len": np.int32(len(samples)),
             "tokens": tokens,
             "tokens_len": np.int32(len(tokens)),
         }

@@ -313,6 +313,26 @@ class TestASRDatasets:
         # pad id = len(labels) (blank) fills beyond tokens_len
         assert (batch["tokens"][0, 5:] == 14).all()
 
+    def test_audio_to_char_with_augmentor(self, tmp_path):
+        """The reference's `augmentor` YAML dict wires online perturbation
+        into the ASR datasets (audio_to_text.py augmentor arg)."""
+        mf = self.make_manifest(tmp_path)
+        kw = dict(labels=list("abc 0123456789"), sample_rate=16000,
+                  audio_multiple=1024, text_multiple=4)
+        clean = AudioToCharDataset(str(mf), **kw)
+        aug = AudioToCharDataset(
+            str(mf),
+            augmentor={"white_noise": {"prob": 1.0, "min_level": -40,
+                                       "max_level": -40}},
+            **kw,
+        )
+        import numpy as np
+
+        a, b = clean[0]["audio"], aug[0]["audio"]
+        assert a.shape == b.shape
+        assert not np.allclose(a, b)
+        assert np.abs(a - b).std() > 1e-4  # noise actually injected
+
     def test_audio_to_label(self, tmp_path):
         mf = self.make_manifest(tmp_path, extra=lambda i: {"label": f"spk{i % 2}"})
         ds = AudioToLabelDataset(
