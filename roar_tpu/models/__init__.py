@@ -16,3 +16,9 @@ from roar_tpu.models.transformer import (  # noqa: F401
     MultiHeadAttn,
     TransformerLayer,
 )
+from roar_tpu.models.bert import (  # noqa: F401
+    BertConfig,
+    BertEncoder,
+    BertForMaskedLM,
+    masked_mlm_loss,
+)

@@ -54,18 +54,65 @@ class GPTConfig:
         return int(self.rotary_percentage * self.head_size)
 
 
-# A few named architectures (config.py:17 registry analogue).
+# Named-architecture registry (nlp/modules/gpt/config.py:17 `Config.from_name`
+# analogue).  Hyperparameters are the public HF model-card values; families
+# covered: TinyLlama, Llama-2, open_llama, Pythia (GPT-NeoX), StableLM.
+def _pythia(n_layer, n_head, n_embd):
+    return GPTConfig(
+        vocab_size=50304, block_size=2048, n_layer=n_layer, n_head=n_head,
+        n_embd=n_embd, n_query_groups=None, intermediate_size=4 * n_embd,
+        mlp_class="GptNeoxMLP", parallel_residual=True,
+    )
+
+
 GPT_CONFIGS: Dict[str, GPTConfig] = {
     "tiny-llama-1.1b": GPTConfig(
         vocab_size=32000, block_size=2048, n_layer=22, n_head=32, n_embd=2048,
         n_query_groups=4, intermediate_size=5632,
     ),
-    "pythia-70m": GPTConfig(
-        vocab_size=50304, block_size=2048, n_layer=6, n_head=8, n_embd=512,
-        n_query_groups=None, intermediate_size=2048, mlp_class="GptNeoxMLP",
-        parallel_residual=True,
+    "llama-2-7b": GPTConfig(
+        vocab_size=32000, block_size=4096, n_layer=32, n_head=32, n_embd=4096,
+        n_query_groups=None, intermediate_size=11008,
+    ),
+    "llama-2-13b": GPTConfig(
+        vocab_size=32000, block_size=4096, n_layer=40, n_head=40, n_embd=5120,
+        n_query_groups=None, intermediate_size=13824,
+    ),
+    "llama-2-70b": GPTConfig(
+        vocab_size=32000, block_size=4096, n_layer=80, n_head=64, n_embd=8192,
+        n_query_groups=8, intermediate_size=28672,
+    ),
+    "open-llama-3b": GPTConfig(
+        vocab_size=32000, block_size=2048, n_layer=26, n_head=32, n_embd=3200,
+        n_query_groups=None, intermediate_size=8640, norm_eps=1e-6,
+    ),
+    "pythia-70m": _pythia(6, 8, 512),
+    "pythia-160m": _pythia(12, 12, 768),
+    "pythia-410m": _pythia(24, 16, 1024),
+    "pythia-1b": _pythia(16, 8, 2048),
+    "pythia-1.4b": _pythia(24, 16, 2048),
+    "pythia-2.8b": _pythia(32, 32, 2560),
+    "stablelm-base-alpha-3b": GPTConfig(
+        vocab_size=50688, block_size=4096, n_layer=16, n_head=32, n_embd=4096,
+        n_query_groups=None, intermediate_size=16384, mlp_class="GptNeoxMLP",
+        parallel_residual=True, rotary_percentage=0.25,
     ),
 }
+
+
+def config_from_name(name: str) -> GPTConfig:
+    """Resolve a config by exact name or shell-style pattern
+    (`Config.from_name` semantics: 'pythia-1*' matches the first entry)."""
+    if name in GPT_CONFIGS:
+        return GPT_CONFIGS[name]
+    import fnmatch
+
+    for key in GPT_CONFIGS:
+        if fnmatch.fnmatch(key, name):
+            return GPT_CONFIGS[key]
+    raise ValueError(
+        f"unknown GPT config {name!r}; known: {sorted(GPT_CONFIGS)}"
+    )
 
 
 class RMSNorm(nn.Module):

@@ -1,0 +1,230 @@
+"""BERT encoder, text-generation utils, and the GPT config registry."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roar_tpu.models.bert import (
+    BertConfig,
+    BertEncoder,
+    BertForMaskedLM,
+    masked_mlm_loss,
+)
+from roar_tpu.models.text_generation import (
+    apply_repetition_penalty,
+    apply_top_k,
+    apply_top_p,
+    sample_logits,
+)
+
+
+def tiny_bert(**kw):
+    return BertConfig(
+        vocab_size=50, n_layer=2, n_head=4, d_model=32, d_inner=64,
+        dropout=0.0, dropatt=0.0, **kw,
+    )
+
+
+class TestBert:
+    def test_encoder_shapes_and_pooler(self):
+        cfg = tiny_bert()
+        enc = BertEncoder(cfg)
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(1, 50, (2, 10)), jnp.int32
+        )
+        params = enc.init(jax.random.PRNGKey(0), tokens)
+        seq, pooled = enc.apply(params, tokens)
+        assert seq.shape == (2, 10, 32)
+        assert pooled.shape == (2, 32)
+
+    def test_bidirectional_context(self):
+        """Unlike GPT, changing a LATER token changes an EARLIER position's
+        representation (no causal mask)."""
+        cfg = tiny_bert(add_pooling_layer=False)
+        enc = BertEncoder(cfg)
+        rng = np.random.default_rng(1)
+        t1 = jnp.asarray(rng.integers(1, 50, (1, 8)), jnp.int32)
+        t2 = np.asarray(t1).copy()
+        t2[0, -1] = (t2[0, -1] % 48) + 1  # change last token
+        params = enc.init(jax.random.PRNGKey(0), t1)
+        s1, _ = enc.apply(params, t1)
+        s2, _ = enc.apply(params, jnp.asarray(t2))
+        assert not np.allclose(np.asarray(s1)[0, 0], np.asarray(s2)[0, 0])
+
+    def test_padding_is_masked_out(self):
+        """A padded suffix must not change valid positions' outputs."""
+        cfg = tiny_bert(add_pooling_layer=False)
+        enc = BertEncoder(cfg)
+        rng = np.random.default_rng(2)
+        base = rng.integers(1, 50, (1, 6)).astype(np.int32)
+        short = jnp.asarray(base)
+        padded = jnp.asarray(
+            np.concatenate([base, np.zeros((1, 4), np.int32)], axis=1)
+        )
+        params = enc.init(jax.random.PRNGKey(0), padded)
+        s_short, _ = enc.apply(params, short)
+        s_pad, _ = enc.apply(params, padded)
+        np.testing.assert_allclose(
+            np.asarray(s_short)[0], np.asarray(s_pad)[0, :6], atol=1e-5
+        )
+
+    def test_mlm_head_tied_and_loss(self):
+        cfg = tiny_bert()
+        model = BertForMaskedLM(cfg)
+        rng = np.random.default_rng(3)
+        tokens = jnp.asarray(rng.integers(1, 50, (2, 8)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), tokens)
+        logits = model.apply(params, tokens)
+        assert logits.shape == (2, 8, 50)
+        labels = jnp.asarray(rng.integers(1, 50, (2, 8)), jnp.int32)
+        mask = jnp.asarray(rng.random((2, 8)) < 0.3)
+        loss = masked_mlm_loss(logits, labels, mask)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        # all-masked-out positions -> loss 0 (no NaN division)
+        assert float(masked_mlm_loss(logits, labels, jnp.zeros((2, 8), bool))) == 0.0
+
+    def test_mlm_trains(self):
+        """A few gradient steps reduce MLM loss on a fixed batch."""
+        import optax
+
+        cfg = tiny_bert()
+        model = BertForMaskedLM(cfg)
+        rng = np.random.default_rng(4)
+        tokens = jnp.asarray(rng.integers(1, 50, (4, 8)), jnp.int32)
+        labels = tokens
+        mask = jnp.ones((4, 8), bool)
+        params = model.init(jax.random.PRNGKey(0), tokens)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                return masked_mlm_loss(model.apply(p, tokens), labels, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+
+class TestSamplingTransforms:
+    def test_top_k(self):
+        logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
+        out = np.asarray(apply_top_k(logits, 2))
+        assert np.isfinite(out[0, [1, 2]]).all()
+        assert np.isinf(out[0, [0, 3]]).all() and (out[0, [0, 3]] < 0).all()
+
+    def test_top_p(self):
+        # probs ~ [0.643, 0.236, 0.087, 0.032]; p=0.8 keeps the first two
+        logits = jnp.asarray([[4.0, 3.0, 2.0, 1.0]])
+        out = np.asarray(apply_top_p(logits, 0.8))
+        assert np.isfinite(out[0, [0, 1]]).all()
+        assert np.isinf(out[0, [2, 3]]).all()
+        # p=1 keeps everything
+        assert np.isfinite(np.asarray(apply_top_p(logits, 0.9999))).all()
+
+    def test_repetition_penalty(self):
+        logits = jnp.asarray([[2.0, -2.0, 1.0]])
+        prev = jnp.asarray([[0, 1]])
+        out = np.asarray(apply_repetition_penalty(logits, prev, 2.0))
+        np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0])
+
+    def test_sample_greedy_and_stochastic(self):
+        logits = jnp.asarray([[0.0, 10.0, 0.0]])
+        assert int(sample_logits(logits, jax.random.PRNGKey(0), use_greedy=True)[0]) == 1
+        tok = sample_logits(
+            logits, jax.random.PRNGKey(0), temperature=1.0, top_k=1
+        )
+        assert int(tok[0]) == 1  # top_k=1 == greedy
+
+
+class TestGenerateTokens:
+    @pytest.fixture(scope="class")
+    def gpt_setup(self):
+        from roar_tpu.models.gpt import GPT, GPTConfig
+
+        cfg = GPTConfig(
+            vocab_size=32, block_size=64, n_layer=2, n_head=4, n_embd=32,
+            n_query_groups=2, intermediate_size=64,
+        )
+        model = GPT(cfg)
+        prompt = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), prompt)
+        return model, params, prompt
+
+    def test_generate_full_sampling_surface(self, gpt_setup):
+        from roar_tpu.models.text_generation import generate_tokens
+
+        model, params, prompt = gpt_setup
+        ids, logps = generate_tokens(
+            model, params, prompt,
+            length_params={"max_length": 5, "min_length": 2},
+            sampling_params={"use_greedy": False, "temperature": 0.8,
+                             "top_k": 8, "top_p": 0.9,
+                             "repetition_penalty": 1.2},
+            end_id=0, rng=jax.random.PRNGKey(1),
+        )
+        assert ids.shape == (2, 3 + 5)
+        assert logps.shape == (2, 5)
+        assert np.isfinite(np.asarray(logps)).all()
+        # min_length: end_id cannot appear in the first 2 generated steps
+        assert (np.asarray(ids)[:, 3:5] != 0).all()
+
+    def test_end_id_freezes_finished_rows(self, gpt_setup):
+        """Once a row emits end_id every later token is end_id."""
+        from roar_tpu.models.text_generation import generate_tokens
+
+        model, params, prompt = gpt_setup
+        ids, _ = generate_tokens(
+            model, params, prompt,
+            length_params={"max_length": 8, "min_length": 0},
+            sampling_params={"use_greedy": False, "temperature": 3.0},
+            end_id=0, rng=jax.random.PRNGKey(3),
+        )
+        gen = np.asarray(ids)[:, 3:]
+        for row in gen:
+            hits = np.where(row == 0)[0]
+            if len(hits):
+                assert (row[hits[0]:] == 0).all(), row
+
+    def test_text_generation_interface(self, gpt_setup):
+        from roar_tpu.models.text_generation import TextGeneration
+
+        model, params, _ = gpt_setup
+
+        class Tok:
+            def __call__(self, s):
+                return [ord(c) % 30 + 1 for c in s]
+
+            def decode(self, ids):
+                return "".join(chr(96 + (i % 26 + 1)) for i in ids)
+
+        tg = TextGeneration(model, params, Tok(), end_id=0)
+        out = tg.generate(["ab", "abcd"], {"max_length": 4, "min_length": 0})
+        assert len(out["token_ids"]) == 2
+        assert len(out["token_ids"][0]) == 4 + 4
+        assert "sentences" in out and len(out["sentences"]) == 2
+
+
+def test_config_registry_from_name():
+    from roar_tpu.models.gpt import GPT_CONFIGS, config_from_name
+
+    cfg = config_from_name("tiny-llama-1.1b")
+    assert cfg.n_layer == 22 and cfg.groups == 4
+    assert config_from_name("pythia-70m").parallel_residual
+    # pattern match
+    assert config_from_name("llama-2-7*").n_embd == 4096
+    # GQA ratio sanity across registry
+    for name, c in GPT_CONFIGS.items():
+        assert c.n_embd % c.n_head == 0, name
+        assert c.n_head % c.groups == 0, name
+    with pytest.raises(ValueError):
+        config_from_name("no-such-model")
