@@ -12,12 +12,20 @@ pitch + energy on CPU dataloader workers
 - ours: the batched on-device extractor (log-mel + batched pYIN + energy in
   one jit), steady-state.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+Prints one JSON line per metric (the driver records every line):
+  {"metric": "supdata_mel_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/sec", "vs_baseline": N}
+  {"metric": "hifigan_rtf_22050", "value": N,
+   "unit": "sec_compute_per_sec_audio", "vs_baseline": N}
+
+The second line is BASELINE.json's other north-star clause: HiFi-GAN v1
+mel->wav synthesis real-time factor at 22.05 kHz (target <= 0.01/chip;
+vs_baseline = 0.01 / measured, i.e. how many times under the bar).
 """
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -33,6 +41,54 @@ def make_audio(batch, seconds, sr, seed=0):
         x += 0.05 * np.sin(2 * np.pi * 2 * f0 * t) + 0.01 * rng.standard_normal(len(t))
         out.append(x.astype(np.float32))
     return out
+
+
+def bench_hifigan_rtf(batch=8, mel_len=864, iters=20):
+    """HiFi-GAN v1 synthesis RTF at 22.05 kHz (shipped-config generator).
+
+    Same measurement as scripts/benchmarks/tts_infer_rtf.py: one jitted
+    mel->wav generator call on [batch, mel_len, 80] mels, steady-state,
+    RTF = compute seconds per second of audio produced.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.config import load_config
+    from roar_tpu.models.hifigan_model import HifiGanModel
+
+    root = Path(__file__).resolve().parent
+    cfg = load_config(
+        root / "configs/hifigan_22050.yaml",
+        overrides=["train_dataset=x", "validation_datasets=x"],
+    )
+    sr, hop = 22050, 256
+    hg = HifiGanModel(cfg["model"])
+    mel = jnp.zeros((batch, mel_len, hg.mel_cfg.nfilt), jnp.float32)
+    params = hg.generator.init(jax.random.PRNGKey(0), mel)
+
+    @jax.jit
+    def voc(params, mel):
+        return hg.generator.apply(params, mel)
+
+    float(jnp.sum(voc(params, mel)))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = voc(params, mel)
+    float(jnp.sum(out))  # force execution (block_until_ready can no-op
+    # under remote-dispatch PJRT plugins; a scalar fetch cannot)
+    dt = (time.perf_counter() - t0) / iters
+    audio_seconds = batch * mel_len * hop / sr
+    rtf = dt / audio_seconds
+    print(
+        json.dumps(
+            {
+                "metric": "hifigan_rtf_22050",
+                "value": round(rtf, 6),
+                "unit": "sec_compute_per_sec_audio",
+                "vs_baseline": round(0.01 / rtf, 2),
+            }
+        )
+    )
 
 
 def main():
@@ -118,6 +174,12 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / cpu_fps, 2),
+                # baseline methodology: librosa is not installed in this
+                # image, so the CPU baseline is ops/pyin_reference.py — a
+                # single-thread numpy/scipy implementation of the same
+                # banded-Viterbi pYIN algorithm librosa runs — timed on one
+                # 4 s utterance and extrapolated to frames/sec.
+                "baseline_method": "pyin_reference.py numpy single-thread, 1x4s utterance",
             }
         )
     )
@@ -125,3 +187,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    bench_hifigan_rtf()

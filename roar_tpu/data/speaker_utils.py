@@ -341,3 +341,236 @@ def diarization_error_rate(
     fa = int((~speech & (hyp >= 0)).sum())
     confusion = int(both.sum()) - int(matched)
     return float(miss + fa + confusion) / float(speech.sum())
+
+
+# ----------------------------------------------------------------------
+# Multiscale machinery (speaker_utils.py:117-285, offline_clustering.py
+# get_argmin_mat :395 / split_input_data :709) — numpy re-design
+# ----------------------------------------------------------------------
+
+def parse_scale_configs(window_lengths_in_sec, shift_lengths_in_sec,
+                        multiscale_weights) -> Optional[Dict]:
+    """Validate multiscale diarizer parameters (speaker_utils.py:117-200):
+    scalars mean single-scale; lists must be equal-length, in descending
+    scale order, with window > shift per scale."""
+    floats = all(isinstance(v, float) for v in
+                 (window_lengths_in_sec, shift_lengths_in_sec))
+    lists = [isinstance(v, (list, tuple)) for v in
+             (window_lengths_in_sec, shift_lengths_in_sec, multiscale_weights)]
+    if floats:
+        windows, shifts, weights = ([window_lengths_in_sec],
+                                    [shift_lengths_in_sec], [1.0])
+    elif all(lists):
+        windows, shifts, weights = (list(window_lengths_in_sec),
+                                    list(shift_lengths_in_sec),
+                                    list(multiscale_weights))
+    elif any(lists):
+        raise ValueError(
+            "Provide list configs for all three of window, shift and "
+            "multiscale weights (or scalars for window and shift)"
+        )
+    else:
+        return None
+    ok_len = len({len(windows), len(shifts), len(weights)}) == 1 and weights
+    ok_order = windows == sorted(windows)[::-1] and shifts == sorted(shifts)[::-1]
+    ok_ws = all(w > s for w, s in zip(windows, shifts))
+    if not (ok_len and ok_order and ok_ws):
+        raise ValueError("Multiscale parameters are not properly setup.")
+    return {
+        "use_single_scale_clustering": False,
+        "scale_dict": {i: (w, s) for i, (w, s) in enumerate(zip(windows, shifts))},
+        "multiscale_weights": weights,
+    }
+
+
+def split_input_data(embeddings_in_scales: np.ndarray,
+                     timestamps_in_scales: np.ndarray,
+                     multiscale_segment_counts: Sequence[int]):
+    """Split scale-concatenated embeddings/timestamps back into per-scale
+    lists (offline_clustering.py:709-744)."""
+    counts = list(map(int, multiscale_segment_counts))
+    splits = np.cumsum(counts)[:-1]
+    return (np.split(np.asarray(embeddings_in_scales), splits),
+            np.split(np.asarray(timestamps_in_scales), splits))
+
+
+def get_argmin_mat(timestamps_in_scales: List[np.ndarray]) -> List[np.ndarray]:
+    """For each scale, map every BASE-scale (last, shortest) segment to the
+    nearest segment of that scale by anchor (midpoint) distance
+    (offline_clustering.py:395-424)."""
+    anchors = [np.mean(np.asarray(ts, np.float64), axis=1)
+               for ts in timestamps_in_scales]
+    base = anchors[-1]
+    return [np.argmin(np.abs(a[None, :] - base[:, None]), axis=1)
+            for a in anchors]
+
+
+def get_embs_and_timestamps(multiscale_embeddings_and_timestamps: Dict,
+                            multiscale_args_dict: Dict) -> Dict:
+    """Rearrange per-scale {scale: (embeddings_by_id, timestamps_by_id)}
+    into per-utterance concatenated arrays + bookkeeping
+    (speaker_utils.py:203-257)."""
+    args = multiscale_args_dict
+    if args.get("use_single_scale_clustering"):
+        args = dict(args)
+        args["scale_dict"] = {0: multiscale_args_dict["scale_dict"][0]}
+        args["multiscale_weights"] = multiscale_args_dict["multiscale_weights"][:1]
+    first_embs, _ = multiscale_embeddings_and_timestamps[0]
+    out = {}
+    for uniq_id in first_embs:
+        embs, stamps, counts = [], [], []
+        for scale_idx in sorted(args["scale_dict"]):
+            e, t = multiscale_embeddings_and_timestamps[scale_idx]
+            if len(e[uniq_id]) != len(t[uniq_id]):
+                raise ValueError(
+                    "Mismatch of counts between embedding vectors and timestamps"
+                )
+            embs.append(np.asarray(e[uniq_id]))
+            stamps.append(np.asarray(t[uniq_id], np.float64))
+            counts.append(len(e[uniq_id]))
+        out[uniq_id] = {
+            "multiscale_weights": np.asarray(args["multiscale_weights"],
+                                             np.float32)[None, :],
+            "embeddings": np.concatenate(embs, axis=0),
+            "timestamps": np.concatenate(stamps, axis=0),
+            "multiscale_segment_counts": np.asarray(counts, np.int64),
+        }
+    return out
+
+
+def get_timestamps(multiscale_timestamps: Dict, multiscale_args_dict: Dict) -> Dict:
+    """Rearrange per-scale timestamps by unique id (speaker_utils.py:259-285)."""
+    out = {uniq_id: {"scale_dict": {}} for uniq_id in multiscale_timestamps[0]}
+    for scale_idx in sorted(multiscale_args_dict["scale_dict"]):
+        for uniq_id, ts in multiscale_timestamps[scale_idx].items():
+            out[uniq_id]["scale_dict"][scale_idx] = {"time_stamps": ts}
+    return out
+
+
+def get_scale_mapping_argmat(uniq_embs_and_timestamps: Dict) -> Dict[int, np.ndarray]:
+    """Per-scale argmin mapping matrices for one utterance
+    (speaker_utils.py:1331-1360)."""
+    _, ts = split_input_data(
+        uniq_embs_and_timestamps["embeddings"],
+        uniq_embs_and_timestamps["timestamps"],
+        uniq_embs_and_timestamps["multiscale_segment_counts"],
+    )
+    return dict(enumerate(get_argmin_mat(ts)))
+
+
+# ----------------------------------------------------------------------
+# Overlap-aware stamps (speaker_utils.py:1361-1446)
+# ----------------------------------------------------------------------
+
+def get_overlap_stamps(cont_stamps: List[str],
+                       ovl_spk_idx: List[List[int]]) -> List[str]:
+    """Assign overlap speech to existing segments: for speaker s, every
+    segment index in ovl_spk_idx[s] also gets a `speaker_s` stamp; merged
+    per speaker (speaker_utils.py:1361-1389)."""
+    per_spk: List[List[str]] = [[] for _ in ovl_spk_idx]
+    for spk, idxs in enumerate(ovl_spk_idx):
+        wanted = set(idxs)
+        for idx, line in enumerate(cont_stamps):
+            if idx in wanted:
+                start, end, _ = line.split()
+                per_spk[spk].append(f"{start} {end} speaker_{spk}")
+    out: List[str] = []
+    for lines in per_spk:
+        if lines:
+            out.extend(merge_stamps(lines))
+    return out
+
+
+def get_adaptive_threshold(estimated_num_of_spks: int, min_threshold: float,
+                           overlap_infer_spk_limit: int) -> float:
+    """Scale the overlap-detection sigmoid threshold with speaker count
+    (speaker_utils.py:1392-1416)."""
+    return min_threshold - (estimated_num_of_spks - 2) * (min_threshold - 1) / (
+        overlap_infer_spk_limit - 2
+    )
+
+
+# ----------------------------------------------------------------------
+# VAD/RTTM -> manifest plumbing (speaker_utils.py:553-675,872-924)
+# ----------------------------------------------------------------------
+
+def get_vad_out_from_rttm_line(rttm_line: str) -> Tuple[float, float]:
+    """(start, duration) from an RTTM line or a bare `start dur label` VAD
+    table line (speaker_utils.py:553-563)."""
+    parts = rttm_line.strip().split()
+    if len(parts) > 3:
+        return float(parts[3]), float(parts[4])
+    return float(parts[0]), float(parts[1])
+
+
+def read_rttm_lines(rttm_file_path: str) -> List[str]:
+    if rttm_file_path and os.path.exists(rttm_file_path):
+        with open(rttm_file_path) as f:
+            return f.readlines()
+    raise FileNotFoundError(f"RTTM file not found: {rttm_file_path!r}")
+
+
+def get_offset_and_duration(audio_rttm_map: Dict, uniq_id: str,
+                            decimals: int = 5) -> Tuple[float, float]:
+    """Offset/duration from the map, falling back to the audio header
+    (speaker_utils.py:565-590)."""
+    meta = audio_rttm_map[uniq_id]
+    if meta.get("duration"):
+        return (round(float(meta.get("offset") or 0.0), decimals),
+                round(float(meta["duration"]), decimals))
+    from roar_tpu.data.audio import AudioSegment
+
+    samples = AudioSegment.from_file(meta["audio_filepath"]).samples
+    sr = AudioSegment.from_file(meta["audio_filepath"]).sample_rate
+    return 0.0, len(samples) / sr
+
+
+def write_rttm2manifest(audio_rttm_map: Dict, manifest_file: str,
+                        decimals: int = 5) -> str:
+    """Oracle-VAD manifest from RTTM files: merged speech intervals,
+    clipped to [offset, offset+duration], one UNK-label entry per segment
+    (speaker_utils.py:872-924)."""
+    with open(manifest_file, "w", encoding="utf-8") as out:
+        for uniq_id, meta in audio_rttm_map.items():
+            lines = read_rttm_lines(meta["rttm_filepath"])
+            offset, duration = get_offset_and_duration(audio_rttm_map, uniq_id,
+                                                       decimals)
+            raw = []
+            for line in lines:
+                start, dur = get_vad_out_from_rttm_line(line)
+                raw.append([start, start + dur])
+            merged = merge_float_intervals(raw)
+            clipped = get_sub_range_list([offset, offset + duration], merged)
+            for stt, end in clipped:
+                json.dump(
+                    {
+                        "audio_filepath": meta["audio_filepath"],
+                        "offset": round(stt, decimals),
+                        "duration": round(end - stt, decimals),
+                        "label": "UNK",
+                        "uniq_id": uniq_id,
+                    },
+                    out,
+                )
+                out.write("\n")
+    return manifest_file
+
+
+def validate_vad_manifest(audio_rttm_map: Dict, vad_manifest: str) -> None:
+    """Every utterance in the map must have at least one speech segment in
+    the VAD manifest (speaker_utils.py:647-675)."""
+    covered = set()
+    with open(vad_manifest, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                entry = json.loads(line)
+                covered.add(entry.get("uniq_id")
+                            or get_uniqname_from_filepath(entry["audio_filepath"]))
+    missing = set(audio_rttm_map) - covered
+    if missing == set(audio_rttm_map):
+        raise ValueError("The vad manifest file is empty. Check the VAD output.")
+    for uniq_id in sorted(missing):
+        import warnings
+
+        warnings.warn(f"{uniq_id} has no speech segments in the VAD manifest")

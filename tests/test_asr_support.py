@@ -453,3 +453,103 @@ class TestTarredDatasets:
         texts_b = [tuple(i["tokens"].tolist()) for i in shuf]
         assert sorted(texts_a) == sorted(texts_b)
         assert texts_a != texts_b
+
+
+class TestMultiscaleMachinery:
+    """Multiscale diarization bookkeeping (ref speaker_utils.py:117-285,
+    1331-1416; offline_clustering.py:395-424,709-744)."""
+
+    def test_parse_scale_configs(self):
+        su = speaker_utils
+        single = su.parse_scale_configs(1.5, 0.75, None)
+        assert single["scale_dict"] == {0: (1.5, 0.75)}
+        multi = su.parse_scale_configs([1.5, 1.0, 0.5], [0.75, 0.5, 0.25], [1, 1, 1])
+        assert len(multi["scale_dict"]) == 3
+        assert multi["scale_dict"][2] == (0.5, 0.25)
+        with pytest.raises(ValueError):
+            su.parse_scale_configs([0.5, 1.5], [0.25, 0.75], [1, 1])  # ascending
+        with pytest.raises(ValueError):
+            su.parse_scale_configs([1.5, 1.0], [0.75], [1, 1])  # length mismatch
+        with pytest.raises(ValueError):
+            su.parse_scale_configs([1.5], 0.75, [1])  # mixed scalar/list
+        assert su.parse_scale_configs("x", "y", None) is None
+
+    def _scales(self):
+        # scale 0: two 2s segments; scale 1 (base): four 1s segments
+        ts0 = np.asarray([[0.0, 2.0], [2.0, 4.0]])
+        ts1 = np.asarray([[0.0, 1.0], [1.0, 2.0], [2.0, 3.0], [3.0, 4.0]])
+        return ts0, ts1
+
+    def test_get_argmin_mat(self):
+        ts0, ts1 = self._scales()
+        maps = speaker_utils.get_argmin_mat([ts0, ts1])
+        # base segments 0,1 (anchors 0.5, 1.5) -> scale-0 segment 0 (anchor 1.0)
+        assert maps[0].tolist() == [0, 0, 1, 1]
+        assert maps[1].tolist() == [0, 1, 2, 3]  # base maps to itself
+
+    def test_embs_and_timestamps_roundtrip(self):
+        ts0, ts1 = self._scales()
+        e0 = np.ones((2, 8)) * 0
+        e1 = np.ones((4, 8)) * 1
+        ms = {0: ({"utt": e0}, {"utt": ts0}), 1: ({"utt": e1}, {"utt": ts1})}
+        args = speaker_utils.parse_scale_configs([2.0, 1.0], [1.0, 0.5], [1, 1])
+        out = speaker_utils.get_embs_and_timestamps(ms, args)["utt"]
+        assert out["embeddings"].shape == (6, 8)
+        assert out["multiscale_segment_counts"].tolist() == [2, 4]
+        embs, stamps = speaker_utils.split_input_data(
+            out["embeddings"], out["timestamps"], out["multiscale_segment_counts"]
+        )
+        np.testing.assert_array_equal(embs[0], e0)
+        np.testing.assert_array_equal(stamps[1], ts1)
+        argmats = speaker_utils.get_scale_mapping_argmat(out)
+        assert argmats[0].tolist() == [0, 0, 1, 1]
+
+    def test_get_timestamps(self):
+        ts0, ts1 = self._scales()
+        args = speaker_utils.parse_scale_configs([2.0, 1.0], [1.0, 0.5], [1, 1])
+        out = speaker_utils.get_timestamps({0: {"u": ts0}, 1: {"u": ts1}}, args)
+        assert set(out["u"]["scale_dict"]) == {0, 1}
+
+    def test_overlap_stamps_and_threshold(self):
+        cont = ["0.0 1.0 speaker_0", "1.0 2.0 speaker_1", "2.0 3.0 speaker_0"]
+        # speaker 1 also speaks during segments 0 and 2
+        out = speaker_utils.get_overlap_stamps(cont, [[], [0, 2]])
+        assert out == ["0.0 1.0 speaker_1", "2.0 3.0 speaker_1"]
+        thr = speaker_utils.get_adaptive_threshold(2, 0.6, 5)
+        assert thr == pytest.approx(0.6)
+        assert speaker_utils.get_adaptive_threshold(5, 0.6, 5) == pytest.approx(1.0)
+
+
+class TestVadRttmManifest:
+    def test_write_rttm2manifest_and_validate(self, tmp_path):
+        su = speaker_utils
+        rttm = tmp_path / "a.rttm"
+        rttm.write_text(
+            "SPEAKER a 1 0.5 1.0 <NA> <NA> speaker_0 <NA> <NA>\n"
+            "SPEAKER a 1 1.0 1.0 <NA> <NA> speaker_1 <NA> <NA>\n"
+            "SPEAKER a 1 5.0 0.5 <NA> <NA> speaker_0 <NA> <NA>\n"
+        )
+        amap = {
+            "a": {"audio_filepath": "/x/a.wav", "rttm_filepath": str(rttm),
+                  "offset": 0.0, "duration": 4.0}
+        }
+        out = tmp_path / "vad.json"
+        su.write_rttm2manifest(amap, str(out))
+        entries = [json.loads(l) for l in out.read_text().splitlines()]
+        # [0.5,2.0] merged; [5.0,5.5] clipped away by duration 4.0
+        assert len(entries) == 1
+        assert entries[0]["offset"] == 0.5 and entries[0]["duration"] == 1.5
+        assert entries[0]["label"] == "UNK"
+        su.validate_vad_manifest(amap, str(out))  # no raise
+        # empty manifest raises
+        empty = tmp_path / "empty.json"
+        empty.write_text("")
+        with pytest.raises(ValueError):
+            su.validate_vad_manifest(amap, str(empty))
+
+    def test_vad_out_from_lines(self):
+        su = speaker_utils
+        assert su.get_vad_out_from_rttm_line(
+            "SPEAKER a 1 2.5 1.25 <NA> <NA> speaker_0 <NA> <NA>"
+        ) == (2.5, 1.25)
+        assert su.get_vad_out_from_rttm_line("0.5 2.0 speech") == (0.5, 2.0)
