@@ -183,3 +183,84 @@ def test_checkify_nan_guard():
     assert np.isfinite(float(guarded(jnp.ones(4))))
     with pytest.raises(checkify.JaxRuntimeError):
         guarded(-jnp.ones(4))
+
+
+class TestMiscUtils:
+    """utils/misc.py (ref env_var_parsing / metaclasses / enum /
+    exceptions / data_utils / config_utils small surfaces)."""
+
+    def test_env_parsing(self, monkeypatch):
+        from roar_tpu.utils import misc
+
+        monkeypatch.setenv("RT_STR", "hello")
+        monkeypatch.setenv("RT_INT", "42")
+        monkeypatch.setenv("RT_BOOL", "Yes")
+        monkeypatch.setenv("RT_DICT", '{"a": 1}')
+        assert misc.get_env("RT_STR") == "hello"
+        assert misc.get_envint("RT_INT") == 42
+        assert misc.get_envbool("RT_BOOL") is True
+        assert misc.get_envbool("RT_MISSING", False) is False
+        assert misc.get_envdict("RT_DICT") == {"a": 1}
+        with pytest.raises(misc.RequiredSettingMissingError):
+            misc.get_env("RT_MISSING")
+        monkeypatch.setenv("RT_BADINT", "xyz")
+        with pytest.raises(misc.CoercionError):
+            misc.get_envint("RT_BADINT")
+
+    def test_singleton_and_enum(self):
+        from roar_tpu.utils.misc import PrettyStrEnum, Singleton
+
+        class S(metaclass=Singleton):
+            pass
+
+        assert S() is S()
+
+        class Mode(PrettyStrEnum):
+            FAST = "fast"
+            SLOW = "slow"
+
+        assert str(Mode("fast")) == "fast"
+        with pytest.raises(ValueError, match="fast, slow"):
+            Mode("warp")
+
+    def test_check_install(self):
+        from roar_tpu.utils.misc import CheckInstall, RoarTPUBaseException
+
+        obj = CheckInstall()
+        with pytest.raises(RoarTPUBaseException):
+            obj()
+        with pytest.raises(RoarTPUBaseException):
+            obj.anything
+
+    def test_cache_dir_and_tarred(self, monkeypatch):
+        from roar_tpu.utils import misc
+
+        monkeypatch.setenv("ROAR_TPU_CACHE_DIR", "/tmp/rtcache")
+        assert str(misc.resolve_cache_dir()) == "/tmp/rtcache"
+        monkeypatch.delenv("ROAR_TPU_CACHE_DIR")
+        assert misc.resolve_cache_dir().name == "roar_tpu"
+        assert misc.is_tarred_path("x/audio_0.tar")
+        assert not misc.is_tarred_path("x/a.wav")
+
+    def test_dataclass_signature_match(self):
+        import dataclasses
+
+        from roar_tpu.utils.misc import assert_dataclass_signature_match
+
+        @dataclasses.dataclass
+        class Cfg:
+            a: int = 1
+            b: str = "x"
+
+        class Good:
+            def __init__(self, a=1, b="x"):
+                pass
+
+        class Bad:
+            def __init__(self, a=1, c=None):
+                pass
+
+        ok, c_only, d_only = assert_dataclass_signature_match(Good, Cfg)
+        assert ok and not c_only and not d_only
+        ok, c_only, d_only = assert_dataclass_signature_match(Bad, Cfg)
+        assert not ok and c_only == ["c"] and d_only == ["b"]
