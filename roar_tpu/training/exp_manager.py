@@ -45,6 +45,8 @@ class MetricsLogger:
         mlflow_kwargs: Optional[Dict] = None,
         use_dllogger: bool = False,
         dllogger_kwargs: Optional[Dict] = None,
+        use_clearml: bool = False,
+        clearml_kwargs: Optional[Dict] = None,
     ):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
@@ -94,6 +96,19 @@ class MetricsLogger:
             except Exception:
                 self._dllogger = None
 
+        self._clearml = None
+        if use_clearml:
+            try:
+                from clearml import Task  # type: ignore
+
+                kw = dict(clearml_kwargs or {})
+                self._clearml = Task.init(
+                    project_name=kw.get("project_name", "roar_tpu"),
+                    task_name=kw.get("task_name", "run"),
+                ).get_logger()
+            except Exception:
+                self._clearml = None
+
     def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
@@ -110,6 +125,9 @@ class MetricsLogger:
             )
         if self._dllogger is not None:
             self._dllogger.log(step=step, data={k: float(v) for k, v in metrics.items()})
+        if self._clearml is not None:
+            for k, v in metrics.items():
+                self._clearml.report_scalar(k, k, float(v), step)
 
     def close(self) -> None:
         self._jsonl.close()
@@ -217,6 +235,8 @@ class ExpManager:
     mlflow_kwargs: Optional[Dict] = None
     use_dllogger: bool = False
     dllogger_kwargs: Optional[Dict] = None
+    use_clearml: bool = False
+    clearml_kwargs: Optional[Dict] = None
     max_time_seconds: Optional[float] = None
     early_stopping: Optional[Dict] = None  # EarlyStopping kwargs, or None
 
@@ -230,6 +250,7 @@ class ExpManager:
             self.root, self.use_tensorboard, self.use_wandb, self.wandb_kwargs,
             use_mlflow=self.use_mlflow, mlflow_kwargs=self.mlflow_kwargs,
             use_dllogger=self.use_dllogger, dllogger_kwargs=self.dllogger_kwargs,
+            use_clearml=self.use_clearml, clearml_kwargs=self.clearml_kwargs,
         )
         self._ckpt_mgr = ocp.CheckpointManager(
             self.ckpt_dir.absolute(),

@@ -211,6 +211,8 @@ def train_supervised(
         mlflow_kwargs=exp_cfg.get("mlflow_logger_kwargs"),
         use_dllogger=exp_cfg.get("create_dllogger_logger", False),
         dllogger_kwargs=exp_cfg.get("dllogger_logger_kwargs"),
+        use_clearml=exp_cfg.get("create_clearml_logger", False),
+        clearml_kwargs=exp_cfg.get("clearml_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
         early_stopping=_early_stopping_cfg(exp_cfg),
     )
@@ -327,6 +329,8 @@ def train_gan(
         mlflow_kwargs=exp_cfg.get("mlflow_logger_kwargs"),
         use_dllogger=exp_cfg.get("create_dllogger_logger", False),
         dllogger_kwargs=exp_cfg.get("dllogger_logger_kwargs"),
+        use_clearml=exp_cfg.get("create_clearml_logger", False),
+        clearml_kwargs=exp_cfg.get("clearml_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
         early_stopping=_early_stopping_cfg(exp_cfg),
     )

@@ -146,6 +146,7 @@ class Trainer:
             self.loss_fn, self.optimizer, self.ema_decay, precision=self.precision
         )
         self._rng = jax.random.PRNGKey(self.seed)
+        self._warned_eager_eval = False
 
     def init_state(self, params, extra=None) -> TrainState:
         if self.mesh is not None and self.tp_rules is not None and self.mesh.shape.get("model", 1) > 1:
@@ -196,6 +197,20 @@ class Trainer:
         batches: Iterable[Dict[str, np.ndarray]],
         use_ema: bool = False,
     ) -> Dict[str, float]:
+        """Average eval_fn(params, batch) metrics over batches.
+
+        eval_fn should be jitted by the caller (jit it ONCE outside any
+        per-epoch closure so the compile cache persists across epochs);
+        an eager fn dispatches the whole model op-by-op per batch."""
+        if not isinstance(eval_fn, jax.stages.Wrapped) and not self._warned_eager_eval:
+            import warnings
+
+            warnings.warn(
+                "Trainer.evaluate received a non-jitted eval_fn; validation "
+                "will run eagerly (or recompile per epoch if re-wrapped). "
+                "Wrap the underlying metrics fn in jax.jit once."
+            )
+            self._warned_eager_eval = True
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         totals: Dict[str, float] = {}
         n = 0
