@@ -139,6 +139,98 @@ def map_fastpitch_state_dict(sd: Dict[str, Any], n_layers: int = 6) -> Dict[str,
     return out
 
 
+def _wn_effective(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """torch weight_norm effective weight: g * v / ||v|| with the norm over
+    all dims except dim 0 (torch's default)."""
+    g = np.asarray(g, np.float64)
+    v = np.asarray(v, np.float64)
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+    return (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def _wn_flax(w_flax: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Decompose an effective weight (already in flax layout, features last)
+    into flax nn.WeightNorm's (direction kernel, scale): WeightNorm applies
+    scale * v/||v|| with the norm over all non-feature axes, so storing
+    v = w and scale = ||w|| reproduces w exactly."""
+    axes = tuple(range(w_flax.ndim - 1))
+    scale = np.sqrt((w_flax.astype(np.float64) ** 2).sum(axis=axes))
+    return w_flax.astype(np.float32), scale.astype(np.float32)
+
+
+def map_hifigan_generator_state_dict(
+    sd: Dict[str, Any], num_kernels: int = 3, resblock: int = 1
+) -> Dict[str, np.ndarray]:
+    """Map the reference HiFi-GAN Generator state dict
+    (roar/collections/tts/modules/hifigan_modules.py:164-255; weight-normed
+    convs stored as weight_g/weight_v) to flax Generator param paths
+    (models/hifigan.py Generator: nn.WeightNorm-wrapped Conv/ConvTranspose).
+
+    Layer-name layout of the flax module (auto-numbered by construction
+    order): conv_pre=Conv_0, ups.{i}=ConvTranspose_{i},
+    resblocks.{n} -> resblocks_{n//K}_{n%K} with convs1.{j}=Conv_{2j} /
+    convs2.{j}=Conv_{2j+1} (ResBlock1) or convs.{j}=Conv_{j} (ResBlock2),
+    conv_post=Conv_1 at the top level.
+    """
+    out: Dict[str, np.ndarray] = {}
+    # group weight_g/weight_v pairs first
+    keys = {k[: -len(".weight_g")] for k in sd if k.endswith(".weight_g")}
+
+    def emit(torch_base: str, flax_scope: str, flax_layer: str, transpose):
+        g, v = sd[torch_base + ".weight_g"], sd[torch_base + ".weight_v"]
+        w = transpose(_wn_effective(g, v))
+        kernel, scale = _wn_flax(w)
+        out[f"params/{flax_layer}/kernel"] = kernel
+        out[f"params/{flax_scope}/{flax_layer.split('/')[-1]}/kernel/scale"] = scale
+        bias = sd.get(torch_base + ".bias")
+        if bias is not None:
+            out[f"params/{flax_layer}/bias"] = np.asarray(bias, np.float32)
+
+    def tconv(w):
+        """torch ConvTranspose1d [in, out, k] -> flax ConvTranspose [k, in,
+        out], spatially FLIPPED: torch's transposed conv is the gradient of
+        a correlation (kernel flip), while flax/lax.conv_transpose with
+        transpose_kernel=False reuses the correlation orientation.
+        torch padding=(k-stride)//2 lines up with flax padding='SAME'
+        (verified numerically for the HiFi-GAN k=2*stride cases)."""
+        return np.transpose(np.asarray(w), (2, 0, 1))[::-1].copy()
+
+    for base in sorted(keys):
+        k = base
+        for pre in ("generator.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        if k == "conv_pre":
+            emit(base, "conv_pre", "Conv_0", _conv)
+        elif k == "conv_post":
+            emit(base, "conv_post", "Conv_1", _conv)
+        elif k.startswith("ups."):
+            i = int(k.split(".")[1])
+            emit(base, f"ups_{i}", f"ConvTranspose_{i}", tconv)
+        elif k.startswith("resblocks."):
+            parts = k.split(".")
+            if parts[2].isdigit():
+                # the reference nests per-upsample-layer groups:
+                # resblocks.{up}.{kernel}.convs... (hifigan_modules.py:202-210)
+                up, kn = int(parts[1]), int(parts[2])
+                which, j = parts[3], int(parts[4])
+            else:
+                # upstream HiFi-GAN flat naming: resblocks.{n}.convs...
+                n = int(parts[1])
+                up, kn = n // num_kernels, n % num_kernels
+                which, j = parts[2], int(parts[3])
+            scope = f"resblocks_{up}_{kn}"
+            if resblock == 1:
+                idx = 2 * j if which == "convs1" else 2 * j + 1
+                wn_scope = f"{scope}/{which}_{j}"
+            else:
+                idx = j
+                wn_scope = f"{scope}/convs_{j}"
+            emit(base, wn_scope, f"{scope}/Conv_{idx}", _conv)
+    return out
+
+
 def apply_mapped_params(params: Any, mapped: Dict[str, np.ndarray]) -> Tuple[Any, List[str], List[str]]:
     """Write mapped arrays into the flax tree by path; returns
     (new_params, loaded, missing)."""

@@ -124,6 +124,123 @@ def test_transformer_layer_weight_transplant_parity():
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-3)
 
 
+class TestActualReferenceParity:
+    """Transplant tests against the REAL reference torch modules imported
+    from /root/reference (not twins) — VERDICT r1 #5 / SURVEY §7 hard part 6."""
+
+    @pytest.fixture(scope="class")
+    def ref(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from reference_import import import_reference_module
+
+        return {
+            "transformer": import_reference_module(
+                "roar.collections.tts.modules.transformer"
+            ),
+            "hifigan": import_reference_module(
+                "roar.collections.tts.modules.hifigan_modules"
+            ),
+        }
+
+    def test_reference_fft_decoder_parity(self, ref):
+        """Reference FFTransformerDecoder (transformer.py:148-224) forward
+        == flax FFTransformerDecoder after weight transplant."""
+        torch.manual_seed(0)
+        n_layer, n_head, d_model, d_head, d_inner, ks = 2, 1, 32, 16, 64, 3
+        tdec = ref["transformer"].FFTransformerDecoder(
+            n_layer=n_layer, n_head=n_head, d_model=d_model, d_head=d_head,
+            d_inner=d_inner, kernel_size=ks, dropout=0.0, dropatt=0.0,
+        ).eval()
+
+        sd = {
+            f"decoder.{k}": v.detach().numpy()
+            for k, v in tdec.state_dict().items()
+        }
+        fdec = FFTransformerDecoder(
+            n_layer=n_layer, n_head=n_head, d_model=d_model, d_head=d_head,
+            d_inner=d_inner, kernel_size=ks, dropout=0.0, dropatt=0.0,
+        )
+        # full-length sequences: the reference's float-key-mask quirk makes
+        # padded keys leak into attention (documented divergence, README
+        # "attention masking"), so padded batches legitimately differ
+        b, t = 2, 12
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((b, t, d_model)).astype(np.float32)
+        seq_lens = np.asarray([t, t], np.int64)
+        mask_np = (np.arange(t)[None, :] < seq_lens[:, None]).astype(np.float32)
+
+        params = fdec.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask_np[..., None])
+        )
+        mapped = map_fastpitch_state_dict(sd)
+        mapped = {k.replace("decoder_module/", ""): v for k, v in mapped.items()}
+        new_params, loaded, _ = apply_mapped_params({"params": params["params"]}, mapped)
+        # every torch weight must land in the flax tree
+        n_expected = len([k for k in sd if "pos_emb" not in k])
+        assert len(loaded) == n_expected, (len(loaded), n_expected)
+
+        with torch.no_grad():
+            t_out, t_mask = tdec(
+                input=torch.tensor(x), seq_lens=torch.tensor(seq_lens)
+            )
+        got, _ = fdec.apply(new_params, jnp.asarray(x), jnp.asarray(mask_np[..., None]))
+        # compare only valid positions (reference zeroes padding via mask mult)
+        ref_np = t_out.numpy() * mask_np[..., None]
+        got_np = np.asarray(got) * mask_np[..., None]
+        np.testing.assert_allclose(got_np, ref_np, atol=2e-4, rtol=1e-3)
+
+    @pytest.mark.parametrize("resblock", [1, 2])
+    def test_reference_hifigan_generator_parity(self, ref, resblock):
+        """Reference HiFi-GAN Generator (hifigan_modules.py:164-255) mel->wav
+        == flax Generator after weight-norm-aware transplant
+        (training/convert.py map_hifigan_generator_state_dict)."""
+        from roar_tpu.models.hifigan import Generator
+        from roar_tpu.training.convert import map_hifigan_generator_state_dict
+
+        torch.manual_seed(0)
+        kw = dict(
+            upsample_rates=[4, 4],
+            upsample_kernel_sizes=[8, 8],
+            upsample_initial_channel=32,
+            resblock_kernel_sizes=[3, 5] if resblock == 1 else [3],
+            resblock_dilation_sizes=(
+                [[1, 3, 5], [1, 3, 5]] if resblock == 1 else [[1, 2]]
+            ),
+            initial_input_size=16,
+        )
+        tgen = ref["hifigan"].Generator(resblock=resblock, **kw).eval()
+        fgen = Generator(
+            resblock=resblock,
+            upsample_rates=tuple(kw["upsample_rates"]),
+            upsample_kernel_sizes=tuple(kw["upsample_kernel_sizes"]),
+            upsample_initial_channel=kw["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(kw["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in kw["resblock_dilation_sizes"]
+            ),
+            initial_input_size=16,
+        )
+
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((2, 24, 16)).astype(np.float32)
+        params = fgen.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+        sd = {k: v.detach().numpy() for k, v in tgen.state_dict().items()}
+        mapped = map_hifigan_generator_state_dict(
+            sd, num_kernels=len(kw["resblock_kernel_sizes"]), resblock=resblock
+        )
+        new_params, loaded, _ = apply_mapped_params(params, mapped)
+        assert len(loaded) == len(mapped), sorted(set(mapped) - set(loaded))[:8]
+
+        with torch.no_grad():
+            ref_wav = tgen(x=torch.tensor(mel).transpose(1, 2)).squeeze(1).numpy()
+        got = np.asarray(fgen.apply(new_params, jnp.asarray(mel)))
+        assert got.shape == ref_wav.shape
+        np.testing.assert_allclose(got, ref_wav, atol=5e-4, rtol=1e-3)
+
+
 def test_full_fastpitch_mapping_coverage():
     """A synthetic reference-named state dict covers the core FastPitch tree."""
     d, n_mel = 32, 20
