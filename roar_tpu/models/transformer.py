@@ -51,22 +51,37 @@ def flash_self_attention(q, k, v, key_mask, scale):
     """Pallas TPU flash attention with padding handled via segment ids.
 
     q/k/v: [B, T, H, D].  Padding tokens get segment id 1 (valid = 0) so
-    cross-segment attention is masked inside the kernel.
+    cross-segment attention is masked inside the kernel.  The kernel tiles
+    the sequence into 128-wide blocks, so T is padded up to a multiple of
+    128 here (pad positions get a third segment id, masking them from both
+    real tokens and the key-padding segment) and the output is sliced back.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
     )
 
+    t = q.shape[1]
+    block = 128
+    t_pad = -(-t // block) * block
+    if key_mask is None:
+        key_mask = jnp.ones(q.shape[:2], bool)
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+        ids = jnp.where(key_mask, 0, 1).astype(jnp.int32)
+        # block-padding positions: distinct segment so they attend nothing
+        ids = ids.at[:, t:].set(2)
+    else:
+        ids = jnp.where(key_mask, 0, 1).astype(jnp.int32)
+
     qt = jnp.swapaxes(q, 1, 2)  # [B, H, T, D]
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    seg = None
-    if key_mask is not None:
-        ids = jnp.where(key_mask, 0, 1).astype(jnp.int32)
-        seg = SegmentIds(q=ids, kv=ids)
+    seg = SegmentIds(q=ids, kv=ids)
     out = flash_attention(qt, kt, vt, segment_ids=seg, sm_scale=scale)
-    return jnp.swapaxes(out, 1, 2)
+    return jnp.swapaxes(out, 1, 2)[:, :t]
 
 
 class MultiHeadAttn(nn.Module):

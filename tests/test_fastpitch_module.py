@@ -363,3 +363,34 @@ def test_gst_reference_conditioning():
     out2 = model.apply(params, text, **kwargs2)
     assert not np.allclose(np.asarray(out1["spect"]), np.asarray(out2["spect"]))
     assert np.isfinite(np.asarray(out1["spect"])).all()
+
+
+def test_flash_attention_matches_sdpa():
+    """Pallas flash attention == SDPA einsum path, including non-multiple-
+    of-128 lengths (the wrapper pads to the kernel's 128-block tiles with a
+    separate segment id) and padded keys.  TPU-only: the kernel has no CPU
+    lowering."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Pallas flash attention kernel is TPU-only")
+    import jax.numpy as jnp
+
+    from roar_tpu.models.transformer import MultiHeadAttn
+
+    rng = np.random.default_rng(0)
+    b, t, d_model, n_head, d_head = 2, 200, 64, 2, 32  # t % 128 != 0
+    x = jnp.asarray(rng.standard_normal((b, t, d_model)).astype(np.float32))
+    lens = jnp.asarray([200, 150])
+    key_mask = jnp.arange(t)[None, :] < lens[:, None]
+
+    sdpa = MultiHeadAttn(n_head, d_model, d_head, 0.0, use_flash=False)
+    flash = MultiHeadAttn(n_head, d_model, d_head, 0.0, use_flash=True)
+    params = sdpa.init(jax.random.PRNGKey(0), x, key_mask=key_mask)
+    out_s = np.asarray(sdpa.apply(params, x, key_mask=key_mask))
+    out_f = np.asarray(flash.apply(params, x, key_mask=key_mask))
+    # compare valid positions only (padding rows are masked downstream)
+    mask = np.asarray(key_mask)[..., None]
+    # kernel-internal rounding differs from the einsum path; 5e-3 on
+    # unit-variance activations (measured max 2.4e-3 on a v5e chip)
+    np.testing.assert_allclose(out_f * mask, out_s * mask, atol=5e-3, rtol=1e-2)
