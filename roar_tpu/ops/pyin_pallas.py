@@ -240,6 +240,13 @@ def banded_viterbi_decode_pallas(
         from roar_tpu.ops.pyin import banded_viterbi_decode
 
         return banded_viterbi_decode(log_obs, cfg)
+    # Mosaic asserts on sub-8 sublane batches (b=1 crashes the compiler
+    # with a layout_rank check); pad the batch dimension to a full sublane
+    # tile and slice the result back.
+    b_pad = max(b, 8)
+    if b_pad != b:
+        log_obs = jnp.pad(log_obs, ((0, b_pad - b), (0, 0), (0, 0)))
+        return banded_viterbi_decode_pallas(log_obs, cfg, interpret)[:b]
     np_ = _round_up(n, _LANE)
     w = cfg.transition_width
     log_tri_np, log_norm_np = _band_tables(n, w)

@@ -69,9 +69,64 @@ def bench_hifigan(args):
     }))
 
 
+def bench_jets(args, config_name: str):
+    """Full JETS GAN step (FastPitch graph + HiFi-GAN generator on 64-frame
+    segments + MPD/MSD) at shipped-config sizes; `jets_conformer` swaps in
+    the Conformer/RoPE encoder-decoder recipe (BASELINE configs[4])."""
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.config import load_config
+    from roar_tpu.models.jets_model import JETSModel
+    from roar_tpu.training.optim import build_optimizer
+
+    root = Path(__file__).resolve().parents[2]
+    cfg = load_config(
+        root / f"configs/{config_name}.yaml",
+        overrides=["train_dataset=x", "validation_datasets=x", "sup_data_path=x",
+                   "pitch_mean=170.0", "pitch_std=60.0",
+                   "model.speaker_encoder.lookup_module.n_speakers=4"],
+    )
+    model = JETSModel(cfg["model"])
+    hop = model.hop_length
+    B, T, M = args.batch, args.text_len, args.mel_len
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(1, 40, (B, T)), jnp.int32),
+        "text_len": jnp.full((B,), T, jnp.int32),
+        "audio": jnp.asarray(rng.standard_normal((B, M * hop)) * 0.1, jnp.float32),
+        "audio_len": jnp.full((B,), M * hop, jnp.int32),
+        "pitch": jnp.asarray(rng.standard_normal((B, M)), jnp.float32),
+        "align_prior_matrix": jnp.ones((B, M, T), jnp.float32) / T,
+        "speaker_id": jnp.zeros((B,), jnp.int32),
+    }
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+    prec = None if args.precision == "none" else args.precision
+    step = model.make_train_step(g_opt, d_opt, precision=prec)
+
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key, 0)
+    float(metrics["g_loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, key, 0)
+    float(metrics["g_loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": f"{config_name}_gan_step_ms",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms/step",
+        "batch": B, "text_len": T, "mel_len": M, "precision": args.precision,
+        "utterances_per_sec": round(B / dt, 1),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="fastpitch", choices=["fastpitch", "hifigan"])
+    p.add_argument("--model", default="fastpitch",
+                   choices=["fastpitch", "hifigan", "jets", "jets_conformer"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
@@ -81,6 +136,10 @@ def main():
 
     if args.model == "hifigan":
         return bench_hifigan(args)
+    if args.model == "jets":
+        return bench_jets(args, "jets_22050_align")
+    if args.model == "jets_conformer":
+        return bench_jets(args, "jets_22050_conformer")
 
     import jax
     import jax.numpy as jnp
