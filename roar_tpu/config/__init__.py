@@ -9,6 +9,7 @@ the image).
 """
 
 from roar_tpu.config.config import (  # noqa: F401
+    MISSING,
     ConfigError,
     import_class_by_path,
     instantiate,

@@ -15,6 +15,64 @@ class ConfigError(ValueError):
     pass
 
 
+class _MissingType:
+    """Hydra/OmegaConf's `???` mandatory marker.
+
+    Reference YAMLs (e.g. jets.yaml `n_speakers: ???`) use `???` for
+    values the user must override.  OmegaConf raises MissingMandatoryValue
+    on *access*; the dict-based analogue is a falsy singleton, so
+    `cfg.get(key)` treats an un-overridden mandatory key as absent, and
+    any attempt to actually consume it (str/arithmetic) fails loudly
+    instead of leaking the literal string "???" into model code.
+    """
+
+    __slots__ = ()
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return "???"
+
+    def __str__(self) -> str:
+        raise ConfigError("mandatory config value ('???') was never set")
+
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
+
+
+MISSING = _MissingType()
+
+
+def _mark_missing(node: Any) -> Any:
+    """Strip Hydra `???` mandatory markers.
+
+    Un-overridden mandatory keys are *dropped* (so `cfg.get(key, default)`
+    falls back and `cfg[key]` raises a KeyError naming the key — the dict
+    analogue of OmegaConf's raise-on-access).  `???` inside lists becomes
+    the MISSING sentinel to preserve indices."""
+    if isinstance(node, dict):
+        return {
+            k: _mark_missing(v)
+            for k, v in node.items()
+            if not (isinstance(v, str) and v == "???")
+        }
+    if isinstance(node, list):
+        return [_mark_missing(v) for v in node]
+    if node == "???":
+        return MISSING
+    return node
+
+
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 
 
@@ -83,15 +141,23 @@ def resolve_interpolations(cfg: Dict[str, Any], _root=None, _depth=0) -> Any:
     if _depth > 20:
         raise ConfigError("interpolation depth exceeded (cycle?)")
 
+    def lookup(dotted: str):
+        try:
+            return _get_path(root, dotted)
+        except KeyError:
+            raise ConfigError(
+                f"interpolation ${{{dotted}}} refers to a key that is not set "
+                "(un-overridden mandatory '???' value, or a typo)"
+            ) from None
+
     def resolve_value(v, depth):
         if isinstance(v, str):
             m = _INTERP_RE.fullmatch(v.strip())
             if m:
-                target = _get_path(root, m.group(1))
-                return resolve_value(target, depth + 1)
+                return resolve_value(lookup(m.group(1)), depth + 1)
             if _INTERP_RE.search(v):
                 def sub(match):
-                    t = resolve_value(_get_path(root, match.group(1)), depth + 1)
+                    t = resolve_value(lookup(match.group(1)), depth + 1)
                     return str(t)
 
                 return _INTERP_RE.sub(sub, v)
@@ -153,13 +219,24 @@ def load_config(
     cfg = _expand_includes(load_yaml(path), path.parent)
     if overrides:
         cfg = apply_overrides(cfg, overrides)
+    cfg = _mark_missing(cfg)
     if resolve:
         cfg = resolve_interpolations(cfg)
     return cfg
 
 
+class _ConfigDumper(yaml.SafeDumper):
+    pass
+
+
+_ConfigDumper.add_representer(
+    _MissingType,
+    lambda dumper, _v: dumper.represent_scalar("tag:yaml.org,2002:str", "???"),
+)
+
+
 def to_yaml(cfg: Dict[str, Any]) -> str:
-    return yaml.safe_dump(cfg, sort_keys=False, allow_unicode=True)
+    return yaml.dump(cfg, Dumper=_ConfigDumper, sort_keys=False, allow_unicode=True)
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,9 @@ def restore_from(
     the weights are deserialized into its structure, otherwise the raw
     msgpack state dict is returned."""
     with tarfile.open(path, "r") as tar:
-        cfg = yaml.safe_load(tar.extractfile(_CONFIG_NAME).read())
+        from roar_tpu.config.config import _mark_missing
+
+        cfg = _mark_missing(yaml.safe_load(tar.extractfile(_CONFIG_NAME).read()))
         blob = tar.extractfile(_WEIGHTS_NAME).read()
         if extract_artifacts_to:
             members = [m for m in tar.getmembers() if m.name.startswith("artifacts/")]

@@ -32,6 +32,35 @@ def test_interpolation_and_overrides():
     assert cfg2["a"]["new"] == [1, 2]
 
 
+def test_mandatory_missing_markers(tmp_path):
+    """Hydra `???` semantics (ref jets.yaml `n_speakers: ???`): an
+    un-overridden mandatory key is absent from the loaded dict (so
+    `cfg.get(key, default)` falls back), an override fills it in, and an
+    interpolation referencing one fails with a named error."""
+    from roar_tpu.config import MISSING, ConfigError, to_yaml
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "model:\n  n_speakers: ???\n  dim: 4\n  listy: [1, '???', 3]\n"
+    )
+    cfg = load_config(p)
+    assert "n_speakers" not in cfg["model"]
+    assert cfg["model"].get("n_speakers", 1) == 1
+    # list markers keep their index as a falsy sentinel
+    assert not cfg["model"]["listy"][1] and cfg["model"]["listy"][2] == 3
+    assert "'???'" in to_yaml(cfg) or "???" in to_yaml(cfg)
+    assert bool(MISSING) is False
+
+    cfg2 = load_config(p, overrides=["model.n_speakers=10"])
+    assert cfg2["model"]["n_speakers"] == 10
+
+    p2 = tmp_path / "c2.yaml"
+    p2.write_text("top: ???\nuse: ${top}\n")
+    with pytest.raises(ConfigError, match="top"):
+        load_config(p2)
+    assert load_config(p2, overrides=["top=3"])["use"] == 3
+
+
 def test_instantiate_with_alias():
     # reference-style _target_ path resolves via alias table
     tok = instantiate(
