@@ -21,6 +21,29 @@ from typing import Callable, Optional
 from roar_tpu.config.config import load_config
 
 
+def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
+    """Point XLA's persistent compilation cache at the framework cache dir
+    so repeated runs (smoke tests, resumed jobs, sweeps) skip the 20-120 s
+    first-compile.  Opt out with ROAR_XLA_CACHE=0.  The TPU analogue of the
+    reference relying on torch/cuDNN kernel caches across runs."""
+    import os
+
+    env = os.environ.get("ROAR_XLA_CACHE")
+    if env == "0":
+        return
+    try:
+        import jax
+
+        from roar_tpu.utils.misc import resolve_cache_dir
+
+        cache = Path(env) if env else resolve_cache_dir() / "xla_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is an optimization; never block startup on it
+        pass
+
+
 def config_runner(
     config_path: Optional[str] = None, config_name: Optional[str] = None
 ) -> Callable:
@@ -41,6 +64,7 @@ def config_runner(
                 name = name + ".yaml"
             cfg_file = Path(args.config_path or ".") / name
             cfg = load_config(cfg_file, overrides=args.overrides)
+            enable_persistent_compilation_cache()
             return fn(cfg)
 
         return wrapper

@@ -32,14 +32,27 @@ class GANTrainState(struct.PyTreeNode):
 def create_gan_state(
     g_params, d_params, g_opt, d_opt, d_stats=None, ema_decay=None
 ) -> GANTrainState:
+    # Single jitted init program: eager per-leaf optax zeros_like / EMA
+    # copies cost one tiny XLA compile per distinct parameter shape and
+    # dominate cold-start (see trainer.create_train_state).
+    @jax.jit
+    def _init(gp, dp):
+        return (
+            jnp.zeros((), jnp.int32),
+            g_opt.init(gp),
+            d_opt.init(dp),
+            jax.tree_util.tree_map(jnp.copy, gp) if ema_decay else None,
+        )
+
+    step, g_opt_state, d_opt_state, g_ema = _init(g_params, d_params)
     return GANTrainState(
-        step=jnp.zeros((), jnp.int32),
+        step=step,
         g_params=g_params,
         d_params=d_params,
-        g_opt_state=g_opt.init(g_params),
-        d_opt_state=d_opt.init(d_params),
+        g_opt_state=g_opt_state,
+        d_opt_state=d_opt_state,
         d_stats=d_stats,
-        g_ema=jax.tree_util.tree_map(jnp.copy, g_params) if ema_decay else None,
+        g_ema=g_ema,
     )
 
 

@@ -198,6 +198,9 @@ def train_supervised(
         ema_decay=exp_cfg.get("ema", {}).get("decay") if exp_cfg.get("ema") else None,
         log_every=trainer_cfg.get("log_every_n_steps", 100),
         precision=_map_precision(trainer_cfg.get("precision")),
+        # stop condition: trainer.max_steps wins (Lightning semantics);
+        # model.max_steps is the LR-schedule horizon, not a stop signal
+        max_steps=trainer_cfg.get("max_steps") or model_cfg.get("max_steps"),
     )
     exp = ExpManager(
         exp_dir=exp_cfg.get("exp_dir") or "./exp",
@@ -252,7 +255,7 @@ def train_supervised(
         sampler.set_epoch(epoch)
         batches = batch_iterator(dataset, sampler, buckets)
         state, metrics = trainer.run_epoch(state, batches, epoch=epoch, logger=exp.logger)
-        if exp.should_stop():
+        if exp.should_stop() or trainer.reached_max_steps:
             exp.save(state, metrics)
             break
         if val_dataset is not None and (epoch + 1) % check_val_every == 0:
@@ -362,6 +365,12 @@ def train_gan(
         _, vmetrics = model.g_loss_fn(g_params, d_params, d_stats, batch, rng, epoch)
         return vmetrics
 
+    # host-side global step mirror: stop at trainer.max_steps (reference
+    # Lightning semantics) without a device sync per step.  trainer.max_steps
+    # wins over model.max_steps (the latter is the LR-schedule horizon).
+    stop_steps = trainer_cfg.get("max_steps") or max_steps
+    gstep = int(start_step or 0)
+    reached_max_steps = False
     for epoch in range(max_epochs):
         sampler.set_epoch(epoch)
         t0 = time.perf_counter()
@@ -369,10 +378,14 @@ def train_gan(
         for i, batch in enumerate(batch_iterator(dataset, sampler, buckets)):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, shard_batch(batch, mesh), sub, epoch)
+            gstep += 1
             if i % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["train_step_timing"] = (time.perf_counter() - t0) / (i + 1)
                 exp.logger.log_metrics(host, step=int(jax.device_get(state.step)))
+            if stop_steps is not None and gstep >= stop_steps:
+                reached_max_steps = True
+                break
             if exp.should_stop():
                 break
         # validation: generator reconstruction losses without updates
@@ -398,7 +411,7 @@ def train_gan(
                 )
                 exp.check_early_stop(val_logged)
         exp.save(state, {k: float(v) for k, v in metrics.items()})
-        if exp.should_stop():
+        if exp.should_stop() or reached_max_steps:
             break
     exp.close()
     return state

@@ -42,11 +42,21 @@ def create_train_state(
     ema_decay: Optional[float] = None,
     extra: Optional[Any] = None,
 ) -> TrainState:
+    # One jitted program for the whole state init: eager optax.init + EMA
+    # copy dispatch one tiny XLA compile per distinct parameter shape
+    # (~0.4 s each, never persistent-cached because each is <2 s), which
+    # dominated CLI cold-start (~40 s for a ~120-shape model).
+    @jax.jit
+    def _init(p):
+        ema = jax.tree_util.tree_map(jnp.copy, p) if ema_decay else None
+        return jnp.zeros((), jnp.int32), optimizer.init(p), ema
+
+    step, opt_state, ema_params = _init(params)
     return TrainState(
-        step=jnp.zeros((), jnp.int32),
+        step=step,
         params=params,
-        opt_state=optimizer.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_decay else None,
+        opt_state=opt_state,
+        ema_params=ema_params,
         extra=extra,
     )
 
@@ -134,6 +144,11 @@ class Trainer:
     precision: Optional[str] = None
     accumulate_grad_batches: int = 1
     tp_rules: Optional[Any] = None  # parallel/tp.py rules: shard params over 'model'
+    # Stop condition, matching the reference's `trainer.max_steps`
+    # (Lightning Trainer arg in every shipped YAML, e.g. jets.yaml trainer
+    # block): training halts once the global step count reaches it, even
+    # mid-epoch.  Counted host-side to avoid a device sync per step.
+    max_steps: Optional[int] = None
 
     def __post_init__(self):
         opt = self.optimizer
@@ -147,6 +162,7 @@ class Trainer:
         )
         self._rng = jax.random.PRNGKey(self.seed)
         self._warned_eager_eval = False
+        self.reached_max_steps = False
 
     def init_state(self, params, extra=None) -> TrainState:
         if self.mesh is not None and self.tp_rules is not None and self.mesh.shape.get("model", 1) > 1:
@@ -176,6 +192,7 @@ class Trainer:
     ) -> Tuple[TrainState, Dict[str, float]]:
         last_metrics: Dict[str, float] = {}
         t0 = time.perf_counter()
+        start_step = int(jax.device_get(state.step)) if self.max_steps else 0
         for i, batch in enumerate(batches):
             self._rng, step_rng = jax.random.split(self._rng)
             state, metrics = self._train_step(
@@ -188,6 +205,9 @@ class Trainer:
             last_metrics = metrics
             for cb in self.callbacks:
                 cb(state, metrics)
+            if self.max_steps is not None and start_step + i + 1 >= self.max_steps:
+                self.reached_max_steps = True
+                break
         return state, {k: float(v) for k, v in last_metrics.items()}
 
     def evaluate(

@@ -222,6 +222,31 @@ def test_fastpitch_trains_and_loss_decreases(fp_setup, tmp_path):
     assert 0 < int(lens[0]) <= 256
 
 
+def test_max_steps_stops_mid_epoch():
+    """`trainer.max_steps` (reference Lightning Trainer arg in every shipped
+    YAML) halts training at the step count even inside an epoch, including
+    across a resume-style restart where state.step starts non-zero."""
+    opt = build_optimizer({"name": "adam", "lr": 0.1})
+
+    def loss_fn(p, b, rng, epoch):
+        l = jnp.sum((p["w"] - b["target"]) ** 2)
+        return l, {"loss": l}
+
+    trainer = Trainer(loss_fn=loss_fn, optimizer=opt, max_steps=5)
+    batch = {"target": jnp.full((4,), 3.0)}
+    state = trainer.init_state({"w": jnp.zeros((4,))})
+    state, _ = trainer.run_epoch(state, [batch] * 10, epoch=0)
+    assert int(jax.device_get(state.step)) == 5
+    assert trainer.reached_max_steps
+
+    # resumed run: 5 already done, 2 more allowed by max_steps=7
+    trainer2 = Trainer(loss_fn=loss_fn, optimizer=opt, max_steps=7)
+    trainer2.reached_max_steps = False
+    state, _ = trainer2.run_epoch(state, [batch] * 10, epoch=1)
+    assert int(jax.device_get(state.step)) == 7
+    assert trainer2.reached_max_steps
+
+
 def test_maybe_resume_restores_into_fresh_run(tmp_path):
     """resume_if_exists picks up the latest checkpoint in a new process
     (exp_manager.py:530-618 semantics), on a tiny quadratic task."""
