@@ -268,18 +268,27 @@ class ExpManager:
 
     # -- checkpointing ---------------------------------------------------
     def save(self, state, metrics: Optional[Dict[str, float]] = None) -> None:
+        """Asynchronous checkpoint save.
+
+        The D2H fetch is synchronous (the host copy also makes the save
+        immune to the train step's buffer donation), but serialization and
+        the disk write run in orbax's background thread: the epoch that
+        follows overlaps the write instead of stalling on it
+        (CheckpointManager.save waits for a previous in-flight save, so
+        back-to-back saves self-serialize).  close()/restore() wait for
+        pending writes."""
         step = int(jax.device_get(state.step))
         self._ckpt_mgr.save(
             step,
             args=ocp.args.StandardSave(jax.device_get(state)),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
-        self._ckpt_mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._ckpt_mgr.latest_step()
 
     def restore(self, abstract_state, step: Optional[int] = None):
+        self._ckpt_mgr.wait_until_finished()  # a pending async save may hold the latest step
         step = step if step is not None else self.latest_step()
         if step is None:
             if self.resume_ignore_no_checkpoint:
