@@ -44,13 +44,53 @@ def build_vocoder_dataset(ds_cfg: Dict[str, Any]):
     return VocoderDataset(**kwargs)
 
 
-def batch_iterator(dataset, sampler, buckets: Optional[BucketSpec] = None):
-    for idxs in sampler:
+def batch_iterator(
+    dataset,
+    sampler,
+    buckets: Optional[BucketSpec] = None,
+    num_workers: int = 0,
+    prefetch_factor: int = 2,
+):
+    """Yield collated batches in sampler order.
+
+    With num_workers > 0, loading + collation run in a thread pool with a
+    bounded in-order window of in-flight batches, so host-side audio
+    decode / numpy collate for batch N+1..N+k overlaps the device step for
+    batch N — the TPU-native analogue of the reference's
+    `dataloader_params.num_workers` (torch DataLoader workers, e.g.
+    conf/fastpitch/fastpitch_22050_align.yaml dataloader_params). Threads
+    (not processes) suffice: audio decode (native/audio_io.cc, soundfile)
+    and numpy collate release the GIL.
+    """
+
+    def load(idxs):
         items = [dataset[i] for i in idxs]
         if buckets is not None:
-            yield dataset.collate(items, buckets)
-        else:
-            yield dataset.collate(items)
+            return dataset.collate(items, buckets)
+        return dataset.collate(items)
+
+    if num_workers <= 0:
+        for idxs in sampler:
+            yield load(idxs)
+        return
+
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = max(2, num_workers * max(prefetch_factor, 1))
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = collections.deque()
+        it = iter(sampler)
+        try:
+            for idxs in it:
+                pending.append(pool.submit(load, idxs))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()
 
 
 class ProfilerWindow:
@@ -251,9 +291,10 @@ def train_supervised(
         _, m = model.loss_fn(params, batch, None, epoch, deterministic=True)
         return m
 
+    num_workers = int(dl_cfg.get("num_workers") or 0)
     for epoch in range(max_epochs):
         sampler.set_epoch(epoch)
-        batches = batch_iterator(dataset, sampler, buckets)
+        batches = batch_iterator(dataset, sampler, buckets, num_workers=num_workers)
         state, metrics = trainer.run_epoch(state, batches, epoch=epoch, logger=exp.logger)
         if exp.should_stop() or trainer.reached_max_steps:
             exp.save(state, metrics)
@@ -267,7 +308,9 @@ def train_supervised(
                 return _val_metrics(params, batch, jnp.asarray(epoch, jnp.int32))
 
             val_metrics = trainer.evaluate(
-                eval_fn, state, batch_iterator(val_dataset, val_sampler, buckets)
+                eval_fn,
+                state,
+                batch_iterator(val_dataset, val_sampler, buckets, num_workers=num_workers),
             )
             val_logged = {f"val_{k}": v for k, v in val_metrics.items()}
             exp.logger.log_metrics(
@@ -371,11 +414,14 @@ def train_gan(
     stop_steps = trainer_cfg.get("max_steps") or max_steps
     gstep = int(start_step or 0)
     reached_max_steps = False
+    num_workers = int(dl_cfg.get("num_workers") or 0)
     for epoch in range(max_epochs):
         sampler.set_epoch(epoch)
         t0 = time.perf_counter()
         metrics = {}
-        for i, batch in enumerate(batch_iterator(dataset, sampler, buckets)):
+        for i, batch in enumerate(
+            batch_iterator(dataset, sampler, buckets, num_workers=num_workers)
+        ):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, shard_batch(batch, mesh), sub, epoch)
             gstep += 1
@@ -395,7 +441,9 @@ def train_gan(
             )
             totals: Dict[str, float] = {}
             n = 0
-            for batch in batch_iterator(val_dataset, val_sampler, buckets):
+            for batch in batch_iterator(
+                val_dataset, val_sampler, buckets, num_workers=num_workers
+            ):
                 rng, sub = jax.random.split(rng)
                 vmetrics = _gan_val_metrics(
                     state.g_params, state.d_params, state.d_stats,

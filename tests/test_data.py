@@ -475,3 +475,34 @@ class TestNewStyleVocoderDataset:
         )
         with pytest.raises(ValueError, match="Failed to read audio"):
             ds[0]
+
+
+def test_batch_iterator_prefetch_matches_sync():
+    """batch_iterator(num_workers>0) must yield the same batches in the
+    same order as the synchronous path (reference dataloader_params
+    num_workers semantics), and propagate loader exceptions."""
+    from roar_tpu.training.run import batch_iterator
+
+    class ToyDataset:
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+        def collate(self, items):
+            return {"x": np.stack([it["x"] for it in items])}
+
+    ds = ToyDataset()
+    sampler = [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+    sync = list(batch_iterator(ds, sampler))
+    threaded = list(batch_iterator(ds, sampler, num_workers=3))
+    assert len(sync) == len(threaded) == 5
+    for a, b in zip(sync, threaded):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+    class BoomDataset(ToyDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(batch_iterator(BoomDataset(), sampler, num_workers=2))
