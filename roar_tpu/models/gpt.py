@@ -293,3 +293,62 @@ def generate(
         step, (caches, last_logits, rng), jnp.arange(max_new_tokens)
     )
     return jnp.concatenate([prompt, toks.swapaxes(0, 1)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel forward (parallel/pp.py engine)
+# ---------------------------------------------------------------------------
+
+def stack_block_params(params, n_layer: int):
+    """Split a GPT param tree into (stacked_blocks, rest).
+
+    stacked_blocks carries a leading n_layer dim per leaf — the layout
+    `parallel.pp.pipeline_apply` shards over the mesh 'pipe' axis.  rest
+    holds wte / ln_f / lm_head.  Weight-compatible with `GPT.apply`: the
+    pipelined forward below produces identical logits."""
+    p = params["params"] if "params" in params else params
+    blocks = [p[f"h_{i}"] for i in range(n_layer)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    rest = {k: v for k, v in p.items() if not k.startswith("h_")}
+    return stacked, rest
+
+
+def pipelined_gpt_apply(
+    cfg: GPTConfig,
+    stacked_blocks,
+    rest,
+    tokens: jnp.ndarray,
+    mesh,
+    n_micro: int,
+    axis_name: str = "pipe",
+    data_axis: Optional[str] = None,
+):
+    """Full-sequence GPT forward with the block stack pipelined over
+    `mesh[axis_name]` (GPipe microbatching, `parallel/pp.py`).  Embedding,
+    final norm and lm_head are replicated (cheap next to the blocks).
+
+    The reference has no working PP (vestigial AppState fields only,
+    roar/utils/app_state.py:130-160); this is the TPU-native upgrade:
+    stages communicate activations over ICI via ppermute, autodiff gives
+    the reverse pipeline for backward.
+    """
+    from flax import linen as nn  # local: keep module import light
+
+    from roar_tpu.parallel.pp import pipeline_apply, scan_stage, split_microbatches
+
+    block = Block(cfg)
+
+    def apply_one(layer_params, x):
+        y, _ = block.apply({"params": layer_params}, x)
+        return y
+
+    emb = nn.Embed(cfg.vocab_size, cfg.n_embd).apply(
+        {"params": rest["wte"]}, tokens
+    )
+    mb = split_microbatches(emb, n_micro)
+    out = pipeline_apply(
+        scan_stage(apply_one), stacked_blocks, mb, mesh, axis_name, data_axis
+    )
+    x = out.reshape(emb.shape)
+    x = RMSNorm(cfg.norm_eps).apply({"params": rest["ln_f"]}, x)
+    return x @ rest["lm_head"]["kernel"]
