@@ -15,7 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from roar_tpu.config.cli import config_runner
 from roar_tpu.models.dac import DACModel
-from roar_tpu.training.run import build_vocoder_dataset, train_gan
+from roar_tpu.training.run import build_validation_datasets, build_vocoder_dataset, train_gan
 
 
 @config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
@@ -24,7 +24,10 @@ def main(cfg):
     model = DACModel(cfg["model"])
     train_ds = build_vocoder_dataset(cfg["model"]["train_ds"]["dataset"])
     val_cfg = (cfg["model"].get("validation_ds") or {}).get("dataset")
-    val_ds = build_vocoder_dataset(val_cfg) if val_cfg else None
+    val_ds = (
+        build_validation_datasets(val_cfg, build_vocoder_dataset)
+        if val_cfg else None
+    )
     train_gan(cfg, model, train_ds, val_ds)
 
 

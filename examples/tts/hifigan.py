@@ -11,7 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from roar_tpu.config.cli import config_runner
 from roar_tpu.models.hifigan_model import HifiGanModel
-from roar_tpu.training.run import build_vocoder_dataset, train_gan
+from roar_tpu.training.run import build_validation_datasets, build_vocoder_dataset, train_gan
 
 
 @config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
@@ -20,7 +20,10 @@ def main(cfg):
     model = HifiGanModel(cfg["model"])
     train_ds = build_vocoder_dataset(cfg["model"]["train_ds"]["dataset"])
     val_cfg = (cfg["model"].get("validation_ds") or {}).get("dataset")
-    val_ds = build_vocoder_dataset(val_cfg) if val_cfg else None
+    val_ds = (
+        build_validation_datasets(val_cfg, build_vocoder_dataset)
+        if val_cfg else None
+    )
     train_gan(cfg, model, train_ds, val_ds)
 
 

@@ -13,7 +13,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from roar_tpu.config.cli import config_runner
 from roar_tpu.data import BucketSpec
 from roar_tpu.models.jets_model import JETSModel
-from roar_tpu.training.run import build_tts_dataset, train_gan
+from roar_tpu.training.run import build_tts_dataset, build_validation_datasets, train_gan
 
 
 @config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
@@ -22,7 +22,10 @@ def main(cfg):
     model = JETSModel(cfg["model"])
     train_ds = build_tts_dataset(cfg["model"]["train_ds"]["dataset"], model.tokenizer)
     val_cfg = (cfg["model"].get("validation_ds") or {}).get("dataset")
-    val_ds = build_tts_dataset(val_cfg, model.tokenizer) if val_cfg else None
+    val_ds = (
+        build_validation_datasets(val_cfg, lambda c: build_tts_dataset(c, model.tokenizer))
+        if val_cfg else None
+    )
     train_gan(cfg, model, train_ds, val_ds, buckets=BucketSpec())
 
 

@@ -310,6 +310,48 @@ class FastPitchModel:
         )
         return out["spect"], out["num_frames"]
 
+    def interpolate_speaker(
+        self,
+        params,
+        original_speaker_1: int,
+        original_speaker_2: int,
+        weight_speaker_1: float,
+        weight_speaker_2: float,
+        new_speaker_id: int,
+    ):
+        """Blend two trained speaker embeddings into a third embedding slot
+        (ref models/fastpitch.py:904-955 interpolate_speaker).  Functional:
+        returns a NEW params pytree with row ``new_speaker_id`` of the
+        speaker table replaced by ``w1*emb[s1] + w2*emb[s2]``; the input
+        params are untouched (the reference mutates the torch module
+        in place)."""
+        col = params.get("params", params)
+        table = col.get("speaker_table")
+        if table is None:
+            raise ValueError(
+                "Speaker interpolation needs a multi-speaker FastPitch "
+                "(n_speakers > 1); this model has no speaker table."
+            )
+        emb = table["embedding"]
+        n_speakers = emb.shape[0]
+        for sid in (original_speaker_1, original_speaker_2, new_speaker_id):
+            if not (0 <= sid < n_speakers):
+                raise ValueError(
+                    f"speaker id {sid} out of range for n_speakers={n_speakers}"
+                )
+        new_emb = (
+            weight_speaker_1 * emb[original_speaker_1]
+            + weight_speaker_2 * emb[original_speaker_2]
+        )
+        emb = jnp.asarray(emb).at[new_speaker_id].set(new_emb)
+        new_col = dict(col)
+        new_col["speaker_table"] = {**dict(table), "embedding": emb}
+        if "params" in params:
+            out = dict(params)
+            out["params"] = new_col
+            return out
+        return new_col
+
     def _setup_normalizer(self, cfg: Dict[str, Any]) -> None:
         """Optional text normalizer applied in parse() before tokenization
         (ref models/fastpitch.py:82-111 _setup_normalizer).  Accepts a

@@ -122,9 +122,13 @@ def forward_sum_loss(
 
     nll = ctc_forward_sum(log_probs, mel_lens, text_lens)
     # torch.nn.CTCLoss default reduction: mean over batch of nll/target_len,
-    # zero_infinity=True clamps non-finite entries to 0.
+    # zero_infinity=True clamps non-finite entries to 0.  The infeasibility
+    # test runs on the UNNORMALIZED nll (our -inf is the finite _NEG_INF
+    # = -1e30, and 1e30/target_len can dip below any per-length threshold —
+    # an infeasible utterance, text longer than its mel frames, must
+    # contribute 0 exactly like torch's zero_infinity).
     per = nll / jnp.maximum(text_lens.astype(nll.dtype), 1.0)
-    per = jnp.where(jnp.isfinite(per) & (per < 1e29), per, 0.0)
+    per = jnp.where(jnp.isfinite(nll) & (nll < 1e29), per, 0.0)
     return loss_scale * jnp.mean(per)
 
 

@@ -44,6 +44,68 @@ def build_vocoder_dataset(ds_cfg: Dict[str, Any]):
     return VocoderDataset(**kwargs)
 
 
+def parse_dataset_as_name(name) -> str:
+    """Metric-prefix name for a validation manifest (ref
+    roar/utils/model_utils.py:150-196 parse_dataset_as_name): file stem,
+    dashes to underscores, 'manifest'/'dataset' stripped, trailing '_'."""
+    import os
+
+    s = str(name)
+    if os.path.exists(s) or os.path.isdir(s):
+        from pathlib import Path
+
+        s = Path(s).stem
+    s = s.replace("-", "_").replace("manifest", "").replace("dataset", "")
+    if not s:
+        raise ValueError(
+            "manifest filename reduces to an empty dataloader name; pick a "
+            "more descriptive filename (ref model_utils.py:179-186)"
+        )
+    if not s.endswith("_"):
+        s += "_"
+    return s
+
+
+def build_validation_datasets(ds_cfg: Dict[str, Any], builder):
+    """One or several validation datasets from a validation_ds.dataset block
+    (ref roar/utils/model_utils.py:219-296 resolve_validation_dataloaders):
+    a list (or comma-joined string) of manifest paths becomes one dataset per
+    path, named via parse_dataset_as_name; a single path stays a single
+    dataset.  `builder(ds_cfg)` constructs one dataset from one config."""
+    paths = ds_cfg.get("manifest_filepath")
+    if isinstance(paths, str) and "," in paths:
+        paths = paths.split(",")
+    if not isinstance(paths, (list, tuple)) or len(paths) <= 1:
+        return builder(ds_cfg)
+    names, sets = [], {}
+    for p in paths:
+        name = parse_dataset_as_name(p)
+        if name in sets:
+            raise ValueError(
+                f"validation manifests produce duplicate dataloader name "
+                f"'{name}' (ref model_utils.py unique_names_check)"
+            )
+        sets[name] = builder({**ds_cfg, "manifest_filepath": p})
+    return sets
+
+
+def _val_sets(val_dataset, model_cfg: Dict[str, Any]):
+    """Normalize val_dataset (one dataset | list | dict name->dataset) to
+    [(name, ds)] plus the val_dl_idx whose metrics log unprefixed (ref
+    ModelPT multi_validation_epoch_end: the val_dl_idx dataloader's metrics
+    are THE val_* metrics; every dataloader also logs '<name>val_*')."""
+    if val_dataset is None:
+        return [], 0
+    if isinstance(val_dataset, dict):
+        sets = list(val_dataset.items())
+    elif isinstance(val_dataset, (list, tuple)):
+        sets = [(f"{i}_", d) for i, d in enumerate(val_dataset)]
+    else:
+        sets = [("", val_dataset)]
+    idx = int((model_cfg.get("validation_ds") or {}).get("val_dl_idx", 0) or 0)
+    return sets, min(max(idx, 0), len(sets) - 1)
+
+
 def batch_iterator(
     dataset,
     sampler,
@@ -272,6 +334,7 @@ def train_supervised(
         state = replicate(state, mesh)
 
     check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
+    val_sets, val_dl_idx = _val_sets(val_dataset, model_cfg)
 
     # optional validation artifacts (plots + Griffin-Lim preview), matching
     # the reference's configure_callbacks artifact generators
@@ -299,25 +362,31 @@ def train_supervised(
         if exp.should_stop() or trainer.reached_max_steps:
             exp.save(state, metrics)
             break
-        if val_dataset is not None and (epoch + 1) % check_val_every == 0:
-            val_sampler = LengthBucketBatchSampler(
-                val_dataset.lengths, batch_size=batch_size, shuffle=False, drop_last=True
-            )
-
-            def eval_fn(params, batch):
-                return _val_metrics(params, batch, jnp.asarray(epoch, jnp.int32))
-
-            val_metrics = trainer.evaluate(
-                eval_fn,
-                state,
-                batch_iterator(val_dataset, val_sampler, buckets, num_workers=num_workers),
-            )
-            val_logged = {f"val_{k}": v for k, v in val_metrics.items()}
+        if val_sets and (epoch + 1) % check_val_every == 0:
+            val_logged: Dict[str, float] = {}
+            for si, (ds_name, vds) in enumerate(val_sets):
+                val_sampler = LengthBucketBatchSampler(
+                    vds.lengths, batch_size=batch_size, shuffle=False, drop_last=True
+                )
+                val_metrics = trainer.evaluate(
+                    _val_metrics,
+                    state,
+                    batch_iterator(vds, val_sampler, buckets, num_workers=num_workers),
+                    extra_args=(jnp.asarray(epoch, jnp.int32),),
+                )
+                # multi-dataloader naming (ref ModelPT multi_validation_epoch_end):
+                # every set logs '<name>val_*'; the val_dl_idx set is THE 'val_*'
+                if len(val_sets) > 1:
+                    val_logged.update(
+                        {f"{ds_name}val_{k}": v for k, v in val_metrics.items()}
+                    )
+                if si == val_dl_idx:
+                    val_logged.update({f"val_{k}": v for k, v in val_metrics.items()})
             exp.logger.log_metrics(
                 val_logged, step=int(jax.device_get(state.step))
             )
             if artifacts is not None:
-                _log_tts_artifacts(artifacts, model, state, val_dataset, epoch)
+                _log_tts_artifacts(artifacts, model, state, val_sets[val_dl_idx][1], epoch)
             if exp.check_early_stop(val_logged):
                 exp.save(state, metrics)
                 break
@@ -401,6 +470,7 @@ def train_gan(
 
     log_every = trainer_cfg.get("log_every_n_steps", 100)
     check_val_every = trainer_cfg.get("check_val_every_n_epoch", 1)
+    val_sets, val_dl_idx = _val_sets(val_dataset, model_cfg)
 
     # jitted once: eager per-batch eval dispatches the whole model op-by-op
     @jax.jit
@@ -435,25 +505,34 @@ def train_gan(
             if exp.should_stop():
                 break
         # validation: generator reconstruction losses without updates
-        if val_dataset is not None and (epoch + 1) % check_val_every == 0 and not exp.should_stop():
-            val_sampler = LengthBucketBatchSampler(
-                val_dataset.lengths, batch_size=batch_size, shuffle=False, drop_last=True
-            )
-            totals: Dict[str, float] = {}
-            n = 0
-            for batch in batch_iterator(
-                val_dataset, val_sampler, buckets, num_workers=num_workers
-            ):
-                rng, sub = jax.random.split(rng)
-                vmetrics = _gan_val_metrics(
-                    state.g_params, state.d_params, state.d_stats,
-                    shard_batch(batch, mesh), sub, jnp.asarray(epoch, jnp.int32),
+        if val_sets and (epoch + 1) % check_val_every == 0 and not exp.should_stop():
+            val_logged: Dict[str, float] = {}
+            for si, (ds_name, vds) in enumerate(val_sets):
+                val_sampler = LengthBucketBatchSampler(
+                    vds.lengths, batch_size=batch_size, shuffle=False, drop_last=True
                 )
-                for k, v in vmetrics.items():
-                    totals[k] = totals.get(k, 0.0) + float(v)
-                n += 1
-            if n:
-                val_logged = {f"val_{k}": v / n for k, v in totals.items()}
+                totals: Dict[str, float] = {}
+                n = 0
+                for batch in batch_iterator(
+                    vds, val_sampler, buckets, num_workers=num_workers
+                ):
+                    rng, sub = jax.random.split(rng)
+                    vmetrics = _gan_val_metrics(
+                        state.g_params, state.d_params, state.d_stats,
+                        shard_batch(batch, mesh), sub, jnp.asarray(epoch, jnp.int32),
+                    )
+                    for k, v in vmetrics.items():
+                        totals[k] = totals.get(k, 0.0) + float(v)
+                    n += 1
+                if not n:
+                    continue
+                if len(val_sets) > 1:
+                    val_logged.update(
+                        {f"{ds_name}val_{k}": v / n for k, v in totals.items()}
+                    )
+                if si == val_dl_idx:
+                    val_logged.update({f"val_{k}": v / n for k, v in totals.items()})
+            if val_logged:
                 exp.logger.log_metrics(
                     val_logged, step=int(jax.device_get(state.step))
                 )

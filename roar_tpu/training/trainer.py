@@ -161,7 +161,7 @@ class Trainer:
             self.loss_fn, self.optimizer, self.ema_decay, precision=self.precision
         )
         self._rng = jax.random.PRNGKey(self.seed)
-        self._warned_eager_eval = False
+        self._jitted_evals: Dict[Any, Callable] = {}
         self.reached_max_steps = False
 
     def init_state(self, params, extra=None) -> TrainState:
@@ -216,26 +216,29 @@ class Trainer:
         state: TrainState,
         batches: Iterable[Dict[str, np.ndarray]],
         use_ema: bool = False,
+        extra_args: Tuple = (),
+        jit: bool = True,
     ) -> Dict[str, float]:
-        """Average eval_fn(params, batch) metrics over batches.
+        """Average eval_fn(params, batch, *extra_args) metrics over batches.
 
-        eval_fn should be jitted by the caller (jit it ONCE outside any
-        per-epoch closure so the compile cache persists across epochs);
-        an eager fn dispatches the whole model op-by-op per batch."""
-        if not isinstance(eval_fn, jax.stages.Wrapped) and not self._warned_eager_eval:
-            import warnings
-
-            warnings.warn(
-                "Trainer.evaluate received a non-jitted eval_fn; validation "
-                "will run eagerly (or recompile per epoch if re-wrapped). "
-                "Wrap the underlying metrics fn in jax.jit once."
-            )
-            self._warned_eager_eval = True
+        The engine enforces compiled validation: a non-jitted eval_fn is
+        jax.jit-ed here and cached per function object, so validation never
+        runs op-by-op (the reference's Lightning validation loop is always
+        inside its compiled module graph).  Pass per-epoch scalars (e.g. the
+        epoch number) through ``extra_args`` as traced values instead of
+        re-wrapping eval_fn in a fresh closure each epoch — a fresh closure
+        defeats both this cache and jax.jit's own trace cache.  ``jit=False``
+        opts out for eval fns with host-side effects."""
+        if jit and not isinstance(eval_fn, jax.stages.Wrapped):
+            jitted = self._jitted_evals.get(eval_fn)
+            if jitted is None:
+                jitted = self._jitted_evals[eval_fn] = jax.jit(eval_fn)
+            eval_fn = jitted
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         totals: Dict[str, float] = {}
         n = 0
         for batch in batches:
-            metrics = eval_fn(params, self._place(batch))
+            metrics = eval_fn(params, self._place(batch), *extra_args)
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1

@@ -80,3 +80,21 @@ def test_bin_loss_matches_reference_formula():
     ref = -np.log(np.clip(soft[hard == 1], 1e-12, None)).sum() / hard.sum()
     got = float(bin_loss(jnp.asarray(hard), jnp.asarray(soft)))
     assert abs(got - ref) < 1e-4
+
+def test_forward_sum_infeasible_zeroed_like_zero_infinity():
+    """An utterance whose text is longer than its mel frames has no valid
+    monotonic alignment: torch CTCLoss(zero_infinity=True) zeroes its
+    contribution, and ours must too (regression: the clamp used to test the
+    length-normalized value, letting 1e30/target_len leak through as ~4e28)."""
+    rng = np.random.default_rng(2)
+    b, t_mel, t_text = 3, 30, 24
+    attn = rng.standard_normal((b, 1, t_mel, t_text)).astype(np.float32)
+    in_lens = np.array([24, 10, 24])   # rows 0 and 2: text 24 > mel 20/18
+    out_lens = np.array([20, 30, 18])
+    ref = _torch_forward_sum(attn, in_lens, out_lens)
+    got = float(
+        forward_sum_loss(jnp.asarray(attn), jnp.asarray(in_lens), jnp.asarray(out_lens))
+    )
+    assert np.isfinite(got)
+    assert got < 1e6, f"infeasible rows leaked a huge loss: {got}"
+    assert abs(got - ref) < 1e-3, (got, ref)

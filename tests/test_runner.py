@@ -180,3 +180,56 @@ def test_train_gan_hifigan_end_to_end(corpus):
     state = train_gan(cfg, model, ds, None)
     assert int(np.asarray(jax.device_get(state.step))) >= 1
     assert (root / "exp_gan" / "hifigan" / "metrics.jsonl").exists()
+
+
+def test_multi_validation_helpers(tmp_path):
+    """Multi-dataloader resolution (ref model_utils.py:150-296): list-valued
+    manifest_filepath -> one named dataset per path; val_dl_idx selects the
+    unprefixed val_* metrics set."""
+    from roar_tpu.training.run import (
+        _val_sets,
+        build_validation_datasets,
+        parse_dataset_as_name,
+    )
+
+    assert parse_dataset_as_name("some-name") == "some_name_"
+    p = tmp_path / "dev-clean-manifest.json"
+    p.write_text("")
+    assert parse_dataset_as_name(str(p)) == "dev_clean_"
+    with pytest.raises(ValueError, match="descriptive"):
+        parse_dataset_as_name("manifest")
+
+    built = []
+    def builder(c):
+        built.append(c["manifest_filepath"])
+        return ("ds", c["manifest_filepath"])
+
+    # single path -> single dataset straight through
+    one = build_validation_datasets({"manifest_filepath": "a_set.json", "x": 1}, builder)
+    assert one == ("ds", "a_set.json")
+    # list -> dict of named datasets, one per path (names from real paths)
+    p1, p2 = tmp_path / "val-one.json", tmp_path / "val-two.json"
+    p1.write_text(""); p2.write_text("")
+    many = build_validation_datasets(
+        {"manifest_filepath": [str(p1), str(p2)]}, builder
+    )
+    assert list(many) == ["val_one_", "val_two_"]
+    assert built == ["a_set.json", str(p1), str(p2)]
+    # comma-joined string behaves like a list (reference accepts both)
+    many2 = build_validation_datasets(
+        {"manifest_filepath": f"{p1},{p2}"}, builder
+    )
+    assert list(many2) == ["val_one_", "val_two_"]
+    with pytest.raises(ValueError, match="duplicate"):
+        build_validation_datasets(
+            {"manifest_filepath": ["dup.json", "dup.json"]}, builder
+        )
+
+    # _val_sets normalization + val_dl_idx clamp
+    sets, idx = _val_sets({"a_": 1, "b_": 2}, {"validation_ds": {"val_dl_idx": 1}})
+    assert sets == [("a_", 1), ("b_", 2)] and idx == 1
+    sets, idx = _val_sets([10, 20], {})
+    assert sets == [("0_", 10), ("1_", 20)] and idx == 0
+    sets, idx = _val_sets(5, {"validation_ds": {"val_dl_idx": 3}})
+    assert sets == [("", 5)] and idx == 0
+    assert _val_sets(None, {}) == ([], 0)

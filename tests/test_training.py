@@ -423,3 +423,88 @@ def test_cosine_matches_nemo_formula():
         expected = min_lr + (init - min_lr) * (1 + math.cos(math.pi * p)) / 2
         got = float(s(jnp.asarray(step)))
         assert got == pytest.approx(expected, rel=1e-4), (step, got, expected)
+
+
+def test_evaluate_autojits_and_caches():
+    """Trainer.evaluate enforces compiled validation: a plain python eval_fn
+    is jitted once and cached per function object; per-epoch scalars flow
+    through extra_args as traced values (no fresh-closure retraces)."""
+    import optax
+
+    from roar_tpu.training.trainer import Trainer, TrainState, create_train_state
+
+    calls = {"traces": 0}
+
+    def eval_fn(params, batch, epoch):
+        calls["traces"] += 1  # counted at TRACE time only once if jitted
+        return {"metric": jnp.mean(batch["x"]) * params["w"] + epoch * 0.0}
+
+    opt = optax.sgd(1e-2)
+    params = {"w": jnp.asarray(2.0)}
+    trainer = Trainer(loss_fn=lambda p, b, r, e: (p["w"] * 0.0, {}), optimizer=opt)
+    state = create_train_state(params, opt)
+
+    batches = [{"x": np.full((4,), float(i), np.float32)} for i in range(3)]
+    out = trainer.evaluate(
+        eval_fn, state, batches, extra_args=(jnp.asarray(0, jnp.int32),)
+    )
+    assert out["metric"] == pytest.approx(np.mean([0.0, 2.0, 4.0]))
+    assert calls["traces"] == 1  # jitted: one trace for three batches
+    # second epoch with the SAME fn object: cache hit, still one trace
+    trainer.evaluate(eval_fn, state, batches, extra_args=(jnp.asarray(1, jnp.int32),))
+    assert calls["traces"] == 1
+    assert len(trainer._jitted_evals) == 1
+
+
+def test_interpolate_speaker():
+    """FastPitchModel.interpolate_speaker blends two speaker rows into a
+    third slot, functionally (ref models/fastpitch.py:904-955)."""
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+
+    cfg = {
+        "n_mel_channels": 16, "symbols_embedding_dim": 32, "n_symbols": 40,
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16,
+                      "d_inner": 64},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16,
+                       "d_inner": 64},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "speaker_encoder": {"lookup_module": {"n_speakers": 4}},
+        "preprocessor": {"sample_rate": 22050, "features": 16,
+                         "n_window_size": 512, "n_window_stride": 128,
+                         "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    # module-level init (cheap: skips the wrapper's mel front-end program);
+    # interpolate_speaker only reads/writes params['params']['speaker_table']
+    from roar_tpu.ops.priors import beta_binomial_prior
+
+    prior = jnp.broadcast_to(beta_binomial_prior(16, 64), (2, 64, 16))
+    params = model.module.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.ones((2, 16), jnp.int32),
+        pitch=jnp.zeros((2, 64), jnp.float32),
+        speaker=jnp.zeros((2,), jnp.int32),
+        spec=jnp.zeros((2, 64, 16), jnp.float32),
+        attn_prior=prior,
+        mel_lens=jnp.full((2,), 64, jnp.int32),
+        input_lens=jnp.full((2,), 16, jnp.int32),
+    )
+    emb_before = np.asarray(params["params"]["speaker_table"]["embedding"]).copy()
+
+    new_params = model.interpolate_speaker(params, 0, 1, 0.25, 0.75, 3)
+    emb_after = np.asarray(new_params["params"]["speaker_table"]["embedding"])
+    np.testing.assert_allclose(
+        emb_after[3], 0.25 * emb_before[0] + 0.75 * emb_before[1], rtol=1e-6
+    )
+    # other rows untouched; original params untouched (functional)
+    np.testing.assert_array_equal(emb_after[:3], emb_before[:3])
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["speaker_table"]["embedding"]), emb_before
+    )
+    # single-speaker model refuses (reference raises too)
+    with pytest.raises(ValueError, match="multi-speaker"):
+        model.interpolate_speaker({"params": {}}, 0, 0, 0.5, 0.5, 0)
+    with pytest.raises(ValueError, match="out of range"):
+        model.interpolate_speaker(params, 0, 1, 0.5, 0.5, 7)
