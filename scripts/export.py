@@ -29,6 +29,17 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=1024)
+    p.add_argument(
+        "--dynamic-batch",
+        action="store_true",
+        help="export with a SYMBOLIC batch dimension (jax.export symbolic "
+        "shapes): one artifact serves any batch size.  This is the "
+        "TPU-idiomatic analogue of the reference's ragged-batch export "
+        "(forward_for_export + batch_from_ragged, "
+        "roar/collections/tts/models/fastpitch.py:886-902): instead of "
+        "concatenating ragged utterances into one buffer, the serving side "
+        "batches same-bucket requests and the artifact accepts the lot.",
+    )
     args = p.parse_args()
 
     from flax import serialization
@@ -93,6 +104,14 @@ def main():
 
         example = (tokens,)
 
+    if args.dynamic_batch:
+        # symbolic batch dim: trace once with shape (b, ...) where b is a
+        # jax.export dimension variable; the serialized module re-specializes
+        # per batch size at load time (no retrace, no ragged concatenation)
+        (b,) = jax.export.symbolic_shape("b")
+        example = tuple(
+            jax.ShapeDtypeStruct((b,) + a.shape[1:], a.dtype) for a in example
+        )
     exported = jax.export.export(jax.jit(fn))(*example)
     blob = exported.serialize()
     out_file = out_dir / f"{args.kind}.stablehlo"

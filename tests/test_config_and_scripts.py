@@ -480,3 +480,55 @@ class TestVocoderDatasetRouting:
         batch = ds.collate([ds[0]])
         assert batch["audio"].shape[0] == 1
         assert "audio_filepaths" in batch
+
+
+def test_export_script_dynamic_batch(tmp_path):
+    """--dynamic-batch exports with a symbolic batch dimension (the
+    TPU-idiomatic analogue of the reference's ragged-batch export,
+    models/fastpitch.py:886-902): the artifact deserializes and runs at
+    batch sizes never traced."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.training.save_restore import save_to
+
+    cfg = {
+        "n_mel_channels": 16,
+        "symbols_embedding_dim": 32,
+        "n_symbols": 40,
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": 32, "d_head": 16, "d_inner": 64},
+        "alignment_module": {"n_text_channels": 32, "n_att_channels": 16},
+        "duration_predictor": {"input_size": 32, "filter_size": 16},
+        "pitch_predictor": {"input_size": 32, "filter_size": 16},
+        "preprocessor": {"sample_rate": 22050, "features": 16, "n_window_size": 512,
+                         "n_window_stride": 128, "n_fft": 512},
+    }
+    model = FastPitchModel(cfg)
+    tokens = jnp.zeros((1, 16), jnp.int32)
+    params = model.module.init(
+        {"params": jax.random.PRNGKey(0)}, tokens, max_mel_len=64,
+        method=model.module.infer,
+    )
+    bundle = tmp_path / "m.roar"
+    save_to(str(bundle), {"target": "FastPitchModel", "model": cfg}, params)
+
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts/export.py"),
+            "--model", str(bundle), "--kind", "fastpitch",
+            "--out", str(tmp_path / "exported"),
+            "--text-len", "16", "--mel-len", "64", "--dynamic-batch",
+        ],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    blob = (tmp_path / "exported" / "fastpitch.stablehlo").read_bytes()
+    rehydrated = jax.export.deserialize(blob)
+    for b in (1, 3):
+        out = rehydrated.call(jnp.zeros((b, 16), jnp.int32))
+        assert np.asarray(out).shape == (b, 64, 16)
