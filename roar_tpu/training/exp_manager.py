@@ -239,12 +239,15 @@ class ExpManager:
     clearml_kwargs: Optional[Dict] = None
     max_time_seconds: Optional[float] = None
     early_stopping: Optional[Dict] = None  # EarlyStopping kwargs, or None
+    config: Optional[Dict] = None  # full run config, snapshotted to the exp dir
+    log_local: bool = True  # per-process log file (ref per-rank logs)
 
     def __post_init__(self):
         self.root = Path(self.exp_dir) / self.name
         if self.version:
             self.root = self.root / self.version
         self.root.mkdir(parents=True, exist_ok=True)
+        self._snapshot_environment()
         self.ckpt_dir = self.root / "checkpoints"
         self.logger = MetricsLogger(
             self.root, self.use_tensorboard, self.use_wandb, self.wandb_kwargs,
@@ -265,6 +268,66 @@ class ExpManager:
             if self.early_stopping is not None
             else None
         )
+
+    # -- provenance --------------------------------------------------------
+    def _snapshot_environment(self) -> None:
+        """Run-provenance capture into the experiment dir (ref
+        exp_manager.py:727-757 git hash/diff + cmd-args.log, :381-390
+        per-rank log files):
+        - cmd-args.log: the exact command line
+        - git-info.log: HEAD hash + uncommitted diff (when inside a repo)
+        - config.yaml: the full run config when the caller passes one
+        - log_process-N.txt: this process's log records (multi-host runs
+          write one file per process instead of interleaving stdout)
+        """
+        import subprocess
+        import sys
+
+        try:
+            (self.root / "cmd-args.log").write_text(" ".join(sys.argv) + "\n")
+        except Exception:
+            pass
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            )
+            if head.returncode == 0:
+                diff = subprocess.run(
+                    ["git", "diff"], capture_output=True, text=True, timeout=10
+                )
+                (self.root / "git-info.log").write_text(
+                    f"commit: {head.stdout.strip()}\n\n{diff.stdout}"
+                )
+        except Exception:
+            pass
+        if self.config is not None:
+            try:
+                import yaml
+
+                (self.root / "config.yaml").write_text(
+                    yaml.safe_dump(self.config, sort_keys=False)
+                )
+            except Exception:
+                pass
+        self._log_handler = None
+        if self.log_local:
+            try:
+                import logging as _logging
+
+                from roar_tpu.utils.logging import get_logger
+
+                proc = jax.process_index()
+                handler = _logging.FileHandler(
+                    self.root / f"log_process-{proc}.txt"
+                )
+                handler.setFormatter(
+                    _logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+                )
+                get_logger().addHandler(handler)
+                self._log_handler = handler
+            except Exception:
+                self._log_handler = None
 
     # -- checkpointing ---------------------------------------------------
     def save(self, state, metrics: Optional[Dict[str, float]] = None) -> None:
@@ -331,3 +394,9 @@ class ExpManager:
         self.logger.close()
         self._ckpt_mgr.close()
         self.preemption.uninstall()
+        if getattr(self, "_log_handler", None) is not None:
+            from roar_tpu.utils.logging import get_logger
+
+            get_logger().removeHandler(self._log_handler)
+            self._log_handler.close()
+            self._log_handler = None

@@ -320,6 +320,7 @@ def train_supervised(
         clearml_kwargs=exp_cfg.get("clearml_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
         early_stopping=_early_stopping_cfg(exp_cfg),
+        config=cfg,
     )
     profiler = ProfilerWindow(model_cfg.get("profile"), str(exp.root / "profile"))
     prof_cb = profiler.as_callback()
@@ -448,6 +449,7 @@ def train_gan(
         clearml_kwargs=exp_cfg.get("clearml_logger_kwargs"),
         max_time_seconds=trainer_cfg.get("max_time_seconds"),
         early_stopping=_early_stopping_cfg(exp_cfg),
+        config=cfg,
     )
 
     first = list(iter(sampler))[0]

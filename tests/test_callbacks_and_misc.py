@@ -323,3 +323,28 @@ class TestEarlyStopping:
 
         with _pytest.raises(ValueError):
             self._es(mode="sideways")
+
+
+def test_exp_manager_provenance_snapshot(tmp_path):
+    """ExpManager captures run provenance into the experiment dir (ref
+    exp_manager.py:727-757 git hash/diff + :381-390 per-rank logs): cmd-args,
+    git-info (hash + working diff), config.yaml, and a per-process log file
+    that receives logger records."""
+    from roar_tpu.training.exp_manager import ExpManager
+    from roar_tpu.utils.logging import get_logger
+
+    exp = ExpManager(
+        exp_dir=str(tmp_path), name="prov", use_tensorboard=False,
+        config={"model": {"lr": 0.1}, "name": "prov"},
+    )
+    root = tmp_path / "prov"
+    assert (root / "cmd-args.log").read_text().strip()
+    git_info = (root / "git-info.log").read_text()  # tests run inside the repo
+    assert git_info.startswith("commit: ")
+    import yaml
+
+    assert yaml.safe_load((root / "config.yaml").read_text())["model"]["lr"] == 0.1
+    get_logger().warning("provenance-test-record")
+    exp.close()
+    log_files = list(root.glob("log_process-*.txt"))
+    assert log_files and "provenance-test-record" in log_files[0].read_text()
