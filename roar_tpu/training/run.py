@@ -303,6 +303,8 @@ def train_supervised(
         # stop condition: trainer.max_steps wins (Lightning semantics);
         # model.max_steps is the LR-schedule horizon, not a stop signal
         max_steps=trainer_cfg.get("max_steps") or model_cfg.get("max_steps"),
+        # dynamic freezing (ref model.freeze_updates, modelPT.py:1779-1841)
+        freeze_updates=model_cfg.get("freeze_updates"),
     )
     exp = ExpManager(
         exp_dir=exp_cfg.get("exp_dir") or "./exp",

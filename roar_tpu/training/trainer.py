@@ -71,12 +71,49 @@ def cast_floating(tree: Any, dtype) -> Any:
     )
 
 
+def _freeze_flag(step, spec):
+    """Traced bool: is a module frozen at (1-indexed) update `step`?
+
+    Matches the reference schedule semantics (modelPT.py:1818-1841
+    on_train_batch_start dynamic freezing): scalar N -> frozen while
+    step <= N (N == -1: forever); [start, end] -> frozen while
+    start <= step <= end (end == -1: open-ended).
+    """
+    if isinstance(spec, (list, tuple)):
+        if len(spec) != 2:
+            raise ValueError(
+                "freeze_updates modules list cannot have more than two elements"
+            )
+        start, end = spec
+        return jnp.logical_and(step >= start, jnp.logical_or(step <= end, end == -1))
+    return jnp.logical_or(step <= spec, spec == -1)
+
+
+def _freeze_specs(tree, modules: Dict[str, Any]):
+    """(treedef, per-leaf schedule list): leaves whose path string contains a
+    module name get that module's schedule (None = never frozen).  Unknown
+    module names error, like the reference's getattr (modelPT.py:1824)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    paths = ["/".join(str(getattr(k, "key", k)) for k in kp) for kp, _ in flat]
+    for name in modules:
+        if not any(name in p for p in paths):
+            raise ValueError(
+                f"freeze_updates module '{name}' matches no parameter path; "
+                f"top-level params: {sorted({p.split('/')[0] for p in paths})}"
+            )
+    specs = [
+        next((s for n, s in modules.items() if n in p), None) for p in paths
+    ]
+    return treedef, specs
+
+
 def make_train_step(
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
     ema_decay: Optional[float] = None,
     donate: bool = True,
     precision: Optional[str] = None,
+    freeze_updates: Optional[Dict[str, Any]] = None,
 ):
     """Build a jitted train step from `loss_fn(params, batch, rng, epoch) ->
     (loss, metrics)`.
@@ -85,8 +122,18 @@ def make_train_step(
     batch casts while keeping fp32 master weights and optimizer state — the
     TPU analogue of the reference's `precision: 16`/`bf16-mixed` trainer
     settings (fastpitch yaml:232, jets yaml:248); bf16 needs no loss scaling.
+
+    freeze_updates implements the reference's dynamic freezing
+    (`model.freeze_updates.modules: {name: N | [start, end]}`,
+    modelPT.py:1779-1841) the TPU way: the freeze window is evaluated on the
+    TRACED step inside the jitted program and masks both the gradient (so
+    optimizer moments stay still) and the update (so the parameter provably
+    does not move) — freeze/unfreeze transitions cost zero recompiles.
     """
     use_bf16 = precision in ("bf16", "bfloat16", "bf16-mixed")
+    freeze_modules = dict((freeze_updates or {}).get("modules") or {}) if (
+        freeze_updates and freeze_updates.get("enabled", True)
+    ) else {}
 
     def cast_in(params, batch):
         if not use_bf16:
@@ -103,9 +150,29 @@ def make_train_step(
         )
         if use_bf16:
             grads = cast_floating(grads, jnp.float32)
+        if freeze_modules:
+            num_updates = state.step + 1  # reference: global_step + 1
+            treedef, specs = _freeze_specs(grads, freeze_modules)
+            keeps = [
+                None
+                if spec is None
+                else 1.0 - _freeze_flag(num_updates, spec).astype(jnp.float32)
+                for spec in specs
+            ]
+
+            def mask_frozen(tree):
+                leaves = treedef.flatten_up_to(tree)
+                return jax.tree_util.tree_unflatten(
+                    treedef,
+                    [l if k is None else l * k for l, k in zip(leaves, keeps)],
+                )
+
+            grads = mask_frozen(grads)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
+        if freeze_modules:
+            updates = mask_frozen(updates)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if ema_decay is not None and state.ema_params is not None:
@@ -149,6 +216,9 @@ class Trainer:
     # block): training halts once the global step count reaches it, even
     # mid-epoch.  Counted host-side to avoid a device sync per step.
     max_steps: Optional[int] = None
+    # Dynamic freezing schedules (ref model.freeze_updates, modelPT.py:1779):
+    # {"enabled": bool, "modules": {param-path-substring: N | [start, end]}}
+    freeze_updates: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
         opt = self.optimizer
@@ -158,7 +228,8 @@ class Trainer:
             opt = optax.MultiSteps(opt, every_k_schedule=self.accumulate_grad_batches)
             self.optimizer = opt
         self._train_step = make_train_step(
-            self.loss_fn, self.optimizer, self.ema_decay, precision=self.precision
+            self.loss_fn, self.optimizer, self.ema_decay, precision=self.precision,
+            freeze_updates=self.freeze_updates,
         )
         self._rng = jax.random.PRNGKey(self.seed)
         self._jitted_evals: Dict[Any, Callable] = {}

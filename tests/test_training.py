@@ -508,3 +508,51 @@ def test_interpolate_speaker():
         model.interpolate_speaker({"params": {}}, 0, 0, 0.5, 0.5, 0)
     with pytest.raises(ValueError, match="out of range"):
         model.interpolate_speaker(params, 0, 1, 0.5, 0.5, 7)
+
+
+def test_dynamic_freezing_schedules():
+    """freeze_updates (ref modelPT.py:1779-1841): scalar N freezes a module
+    for the first N updates; [start, end] freezes a window; -1 is forever.
+    Masking runs on the traced step inside one jitted program — transitions
+    cause no recompile — and frozen params provably do not move."""
+    import optax
+
+    from roar_tpu.training.trainer import Trainer, create_train_state
+
+    def loss_fn(p, b, r, e):
+        loss = ((p["enc"]["w"] - 3.0) ** 2 + (p["dec"]["w"] - 3.0) ** 2
+                + (p["pitch"]["w"] - 3.0) ** 2)
+        return loss, {"loss": loss}
+
+    opt = optax.sgd(0.1)
+    trainer = Trainer(
+        loss_fn=loss_fn, optimizer=opt,
+        freeze_updates={"enabled": True,
+                        "modules": {"enc": 2, "pitch": [2, 3], "dec": -1}},
+    )
+    params = {"enc": {"w": jnp.asarray(0.0)}, "dec": {"w": jnp.asarray(0.0)},
+              "pitch": {"w": jnp.asarray(0.0)}}
+    state = trainer.init_state(params)
+
+    vals = []
+    batch = {"x": np.zeros((1,), np.float32)}
+    for _ in range(4):
+        state, _ = trainer.run_epoch(state, [batch])
+        vals.append({k: float(state.params[k]["w"]) for k in ("enc", "dec", "pitch")})
+
+    # enc frozen for updates 1-2, moves from update 3
+    assert vals[0]["enc"] == 0.0 and vals[1]["enc"] == 0.0
+    assert vals[2]["enc"] != 0.0
+    # dec: -1 -> frozen forever
+    assert all(v["dec"] == 0.0 for v in vals)
+    # pitch: moves at update 1, frozen updates 2-3, moves again at 4
+    assert vals[0]["pitch"] != 0.0
+    assert vals[1]["pitch"] == vals[0]["pitch"] == vals[2]["pitch"]
+    assert vals[3]["pitch"] != vals[2]["pitch"]
+
+    # unknown module name errors like the reference's getattr
+    bad = Trainer(loss_fn=loss_fn, optimizer=opt,
+                  freeze_updates={"modules": {"nonexistent": 1}})
+    bstate = bad.init_state(params)
+    with pytest.raises(ValueError, match="matches no parameter path"):
+        bad.run_epoch(bstate, [batch])
