@@ -546,3 +546,79 @@ def train_gan(
             break
     exp.close()
     return state
+
+
+def run_test(
+    cfg: Dict[str, Any],
+    model,
+    test_dataset,
+    state=None,
+    params=None,
+    buckets: Optional[BucketSpec] = None,
+    log_dir: Optional[str] = None,
+) -> Dict[str, float]:
+    """Evaluate a trained task on one or several test sets — the analogue of
+    the reference's `trainer.test()` path (ModelPT setup_test_data /
+    resolve_test_dataloaders, roar/utils/model_utils.py:299; metrics named
+    like multi_test_epoch_end's 'test_*' and '<name>test_*').
+
+    `test_dataset` follows the same shapes as validation: one dataset, a
+    list, or a dict name->dataset (build_validation_datasets output).
+    Supply either a TrainState (`state`) or a bare `params` pytree.
+    Returns the aggregated metrics dict and appends one record to
+    `<log_dir>/test_metrics.jsonl` when log_dir is given.
+    """
+    import json
+
+    model_cfg = cfg.get("model", {})
+    trainer_cfg = cfg.get("trainer", {})
+    dl_cfg = (model_cfg.get("test_ds") or {}).get("dataloader_params", {})
+    batch_size = dl_cfg.get("batch_size", 16)
+    num_workers = int(dl_cfg.get("num_workers") or 0)
+    mesh = _mesh_from_cfg(trainer_cfg, batch_size)
+    if params is None:
+        if state is None:
+            raise ValueError("run_test needs state or params")
+        params = state.params
+
+    # test_dl_idx mirrors val_dl_idx (ref resolve_test_dataloaders)
+    if isinstance(test_dataset, dict):
+        sets = list(test_dataset.items())
+    elif isinstance(test_dataset, (list, tuple)):
+        sets = [(f"{i}_", d) for i, d in enumerate(test_dataset)]
+    else:
+        sets = [("", test_dataset)]
+    idx = int((model_cfg.get("test_ds") or {}).get("test_dl_idx", 0) or 0)
+    idx = min(max(idx, 0), len(sets) - 1)
+
+    @jax.jit
+    def _metrics(params, batch):
+        _, m = model.loss_fn(params, batch, None, 0, deterministic=True)
+        return m
+
+    out: Dict[str, float] = {}
+    for si, (ds_name, ds) in enumerate(sets):
+        sampler = LengthBucketBatchSampler(
+            ds.lengths, batch_size=batch_size, shuffle=False, drop_last=False
+        )
+        totals: Dict[str, float] = {}
+        n = 0
+        for batch in batch_iterator(ds, sampler, buckets, num_workers=num_workers):
+            m = _metrics(params, shard_batch(batch, mesh))
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        if not n:
+            continue
+        if len(sets) > 1:
+            out.update({f"{ds_name}test_{k}": v / n for k, v in totals.items()})
+        if si == idx:
+            out.update({f"test_{k}": v / n for k, v in totals.items()})
+    if log_dir is not None:
+        from pathlib import Path
+
+        p = Path(log_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        with open(p / "test_metrics.jsonl", "a", encoding="utf-8") as f:
+            f.write(json.dumps({"time": time.time(), **out}) + "\n")
+    return out

@@ -233,3 +233,37 @@ def test_multi_validation_helpers(tmp_path):
     sets, idx = _val_sets(5, {"validation_ds": {"val_dl_idx": 3}})
     assert sets == [("", 5)] and idx == 0
     assert _val_sets(None, {}) == ([], 0)
+
+
+def test_run_test_evaluates_test_sets(corpus, tmp_path):
+    """run_test — the reference trainer.test() analogue: evaluates named
+    test sets, logs '<name>test_*' + test_dl_idx-selected 'test_*' metrics,
+    appends to test_metrics.jsonl."""
+    import json
+
+    from roar_tpu.training.run import run_test
+
+    root, man, sr = corpus
+    cfg = aligner_cfg(root, man)
+    cfg["model"]["test_ds"] = {
+        "dataloader_params": {"batch_size": 4},
+        "test_dl_idx": 1,
+    }
+    model = AlignerModel(cfg["model"])
+    ds = TTSDataset(
+        manifest_filepath=str(man), sample_rate=sr,
+        text_tokenizer=model.tokenizer, sup_data_path=str(root / "sup"),
+        sup_data_types=["align_prior_matrix"],
+        n_fft=1024, win_length=1024, hop_length=256, n_mels=24, highfreq=8000,
+    )
+    batch = ds.collate([ds[i] for i in range(4)], BucketSpec(8, 16, 8192))
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    out = run_test(
+        cfg, model, {"seen_": ds, "heldout_": ds}, params=params,
+        buckets=BucketSpec(8, 16, 8192), log_dir=str(tmp_path),
+    )
+    assert "seen_test_loss" in out and "heldout_test_loss" in out
+    assert out["test_loss"] == out["heldout_test_loss"]  # test_dl_idx=1
+    assert np.isfinite(out["test_loss"])
+    rec = json.loads((tmp_path / "test_metrics.jsonl").read_text().splitlines()[-1])
+    assert rec["test_loss"] == out["test_loss"]
