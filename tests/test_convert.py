@@ -309,3 +309,69 @@ def test_full_fastpitch_mapping_coverage():
     # a transplanted leaf actually carries the source values
     got = np.asarray(new_params["params"]["proj"]["kernel"])
     np.testing.assert_allclose(got, sd["proj.weight"].T)
+
+
+class TestReferenceAlignerParity:
+    """Transplant parity vs the REAL reference AlignmentEncoder
+    (roar/collections/tts/modules/aligner.py:9-233)."""
+
+    def test_reference_alignment_encoder_parity(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from reference_import import import_reference_module
+
+        ref_aligner = import_reference_module(
+            "roar.collections.tts.modules.aligner"
+        )
+
+        torch.manual_seed(0)
+        n_mel, n_text, n_att = 16, 32, 16
+        tenc = ref_aligner.AlignmentEncoder(
+            n_mel_channels=n_mel, n_text_channels=n_text,
+            n_att_channels=n_att, temperature=0.0005, dist_type="l2",
+        ).eval()
+
+        from roar_tpu.models.aligner import AlignmentEncoder as FlaxAligner
+
+        fenc = FlaxAligner(
+            n_mel_channels=n_mel, n_text_channels=n_text,
+            n_att_channels=n_att, temperature=0.0005, dist_type="l2",
+        )
+
+        rng = np.random.default_rng(3)
+        b, t_mel, t_text = 2, 24, 10
+        queries = rng.standard_normal((b, t_mel, n_mel)).astype(np.float32)
+        keys = rng.standard_normal((b, t_text, n_text)).astype(np.float32)
+        prior = rng.random((b, t_mel, t_text)).astype(np.float32)
+
+        params = fenc.init(
+            jax.random.PRNGKey(0), jnp.asarray(queries), jnp.asarray(keys),
+            key_mask=jnp.ones((b, t_text), bool), attn_prior=jnp.asarray(prior),
+        )
+        sd = {f"aligner.{k}": v.detach().numpy() for k, v in tenc.state_dict().items()}
+        mapped = map_fastpitch_state_dict(sd)
+        mapped = {k.replace("aligner_module/", ""): v for k, v in mapped.items()}
+        new_params, loaded, missing = apply_mapped_params(
+            {"params": params["params"]}, mapped
+        )
+        assert len(loaded) == len(sd), (loaded, list(sd))
+
+        with torch.no_grad():
+            # reference layout: queries [B, C1, T1], keys [B, C2, T2]
+            t_attn, t_logprob = tenc(
+                torch.tensor(queries).transpose(1, 2),
+                torch.tensor(keys).transpose(1, 2),
+                mask=None, attn_prior=torch.tensor(prior),
+            )
+        attn, logprob = fenc.apply(
+            new_params, jnp.asarray(queries), jnp.asarray(keys),
+            key_mask=jnp.ones((b, t_text), bool), attn_prior=jnp.asarray(prior),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logprob), t_logprob.numpy(), atol=2e-4, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(attn), t_attn.numpy(), atol=2e-4, rtol=1e-3
+        )
