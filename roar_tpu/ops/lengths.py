@@ -76,13 +76,20 @@ def regulate_len(
 def average_features(feats: jnp.ndarray, durs: jnp.ndarray) -> jnp.ndarray:
     """Average frame-level features over each token's duration span.
 
-    feats: [B, n_formants, T_mel]; durs: [B, T_text] int.
+    feats: [B, n_formants, T_mel]; durs: [B, T_text] int or float.
     Returns [B, n_formants, T_text].  Nonzero-aware mean, exactly as
     modules/fastpitch.py:27-51 (`average_features`): frames with value 0 are
     excluded from the denominator; all-zero spans average to 0.
+
+    Float durations (the durs_predicted inference path) follow the
+    reference's `torch.cumsum(durs, dim=1).long()` exactly: the CUMULATIVE
+    sums are truncated, so fractional durations accumulate into later bins
+    — truncating each duration first would zero every sub-frame token.
     """
-    durs = durs.astype(jnp.int32)
-    ends = jnp.cumsum(durs, axis=1)  # [B, T_text]
+    if jnp.issubdtype(durs.dtype, jnp.integer):
+        ends = jnp.cumsum(durs.astype(jnp.int32), axis=1)  # [B, T_text]
+    else:
+        ends = jnp.cumsum(durs, axis=1).astype(jnp.int32)
     starts = jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))
     t_mel = feats.shape[-1]
     # Clamp indices into the padded cumsum (positions beyond T_mel clip).

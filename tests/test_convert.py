@@ -375,3 +375,111 @@ class TestReferenceAlignerParity:
         np.testing.assert_allclose(
             np.asarray(attn), t_attn.numpy(), atol=2e-4, rtol=1e-3
         )
+
+
+class TestReferenceFullFastPitchParity:
+    """Whole-graph transplant parity vs the REAL reference FastPitchModule
+    (roar/collections/tts/modules/fastpitch.py:153-405), learn_alignment=False
+    (given durations) so the Numba binarize path is never touched."""
+
+    def test_reference_full_fastpitch_forward_parity(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from reference_import import import_reference_module
+
+        ref_fp = import_reference_module("roar.collections.tts.modules.fastpitch")
+        ref_tr = import_reference_module("roar.collections.tts.modules.transformer")
+
+        torch.manual_seed(0)
+        d, n_mel, vocab = 32, 16, 40
+        tenc = ref_tr.FFTransformerEncoder(
+            n_layer=1, n_head=1, d_model=d, d_head=16, d_inner=64,
+            kernel_size=3, dropout=0.0, dropatt=0.0,
+            n_embed=vocab, d_embed=d, padding_idx=0,
+        )
+        tdec = ref_tr.FFTransformerDecoder(
+            n_layer=1, n_head=1, d_model=d, d_head=16, d_inner=64,
+            kernel_size=3, dropout=0.0, dropatt=0.0,
+        )
+        tdur = ref_fp.TemporalPredictor(d, filter_size=16, kernel_size=3, dropout=0.0)
+        tpit = ref_fp.TemporalPredictor(d, filter_size=16, kernel_size=3, dropout=0.0)
+        tmod = ref_fp.FastPitchModule(
+            encoder_module=tenc, decoder_module=tdec,
+            duration_predictor=tdur, pitch_predictor=tpit,
+            energy_predictor=None, aligner=None, speaker_encoder=None,
+            n_speakers=1, symbols_embedding_dim=d,
+            pitch_embedding_kernel_size=3, energy_embedding_kernel_size=3,
+            n_mel_channels=n_mel,
+        ).eval()
+
+        from roar_tpu.models import FastPitchModule, FFTConfig, PredictorConfig
+
+        fft = FFTConfig(n_layer=1, n_head=1, d_model=d, d_head=16, d_inner=64,
+                        kernel_size=3, dropout=0.0, dropatt=0.0)
+        fmod = FastPitchModule(
+            n_symbols=vocab, padding_idx=0, encoder=fft, decoder=fft,
+            duration_predictor=PredictorConfig(input_size=d, filter_size=16, dropout=0.0),
+            pitch_predictor=PredictorConfig(input_size=d, filter_size=16, dropout=0.0),
+            aligner=None, n_speakers=1, symbols_embedding_dim=d,
+            n_mel_channels=n_mel,
+        )
+
+        rng = np.random.default_rng(5)
+        b, t_text = 2, 9
+        text = rng.integers(1, vocab, size=(b, t_text)).astype(np.int64)
+        durs = rng.integers(1, 4, size=(b, t_text)).astype(np.int64)
+        # equal decoded lengths: the reference decoder feeds torch SDPA a 0/1
+        # FLOAT mask, giving padded keys a +1 additive bonus (documented
+        # divergence, README 'attention masking') — ragged rows legitimately
+        # differ, so the whole-graph comparison uses full-length rows
+        durs[:, -1] += durs.sum(-1).max() - durs.sum(-1)
+        t_frames = int(durs.sum(-1).max())
+        pitch = rng.standard_normal((b, t_frames)).astype(np.float32)
+
+        params = fmod.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.asarray(text, jnp.int32),
+            durs=jnp.asarray(durs, jnp.int32), pitch=jnp.asarray(pitch),
+            max_mel_len=t_frames,
+        )
+        sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+        mapped = map_fastpitch_state_dict(sd, n_layers=1)
+        new_params, loaded, _ = apply_mapped_params(params, mapped)
+        n_expected = len(
+            [k for k in sd if "pos_emb" not in k and "pitch_mean" not in k
+             and "pitch_std" not in k]
+        )
+        assert len(loaded) == n_expected, (len(loaded), n_expected)
+
+        with torch.no_grad():
+            (t_spect, t_dec_lens, t_durs_pred, t_log_durs, t_pitch_pred,
+             *_rest) = tmod(
+                text=torch.tensor(text), durs=torch.tensor(durs),
+                pitch=torch.tensor(pitch),
+            )
+        out = fmod.apply(
+            new_params,
+            jnp.asarray(text, jnp.int32), durs=jnp.asarray(durs, jnp.int32),
+            pitch=jnp.asarray(pitch), max_mel_len=t_frames,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["num_frames"]), t_dec_lens.numpy()
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["log_durs_predicted"]), t_log_durs.numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pitch_predicted"]), t_pitch_pred.numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+        # reference spect is [B, n_mel, T]; ours is [B, T, n_mel]
+        ref_spect = t_spect.numpy().transpose(0, 2, 1)
+        got = np.asarray(out["spect"])
+        # compare valid frames per row (both pad beyond dec_lens)
+        for i in range(b):
+            n = int(t_dec_lens[i])
+            np.testing.assert_allclose(
+                got[i, :n], ref_spect[i, :n], atol=5e-4, rtol=1e-3
+            )
