@@ -149,3 +149,18 @@ def rand_slice_segments(
     u = jax.random.uniform(rng, (b,))
     ids_str = (u * ids_str_max.astype(u.dtype)).astype(jnp.int32)
     return slice_segments(x, ids_str, segment_size), ids_str
+
+
+def mask_sequence_tensor(tensor: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Zero out positions beyond per-row lengths along the LAST axis
+    (ref helpers.py:852-876 mask_sequence_tensor).  Accepts [B, L],
+    [B, D, L], or [B, D1, D2, L]."""
+    if tensor.ndim not in (2, 3, 4):
+        raise ValueError(
+            "Can only mask tensors of shape B x L, B x D x L, or B x D1 x D2 x L"
+        )
+    max_len = tensor.shape[-1]
+    mask = jnp.arange(max_len) < lengths.reshape(
+        (-1,) + (1,) * (tensor.ndim - 1)
+    )
+    return tensor * mask.astype(tensor.dtype)

@@ -158,3 +158,32 @@ class VocoderArtifactGenerator:
             write_wav(str(p), np.asarray(wav)[0], self.sample_rate)
             written.append(str(p))
         return written
+
+
+def plot_multipitch_to_file(
+    pitch_gt: np.ndarray, pitch_pred: np.ndarray, path: str,
+    title: str = "pitch (gt vs pred)", ylim_range=None,
+) -> Optional[str]:
+    """Overlay ground-truth and predicted pitch contours
+    (ref helpers.py:479-495 plot_multipitch_to_numpy); returns the path, or
+    None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots(figsize=(12, 3))
+    ax.plot(np.asarray(pitch_gt), label="gt", alpha=0.8)
+    ax.plot(np.asarray(pitch_pred), label="pred", alpha=0.8)
+    if ylim_range is not None:
+        ax.set_ylim(ylim_range)
+    ax.set_xlabel("frames")
+    ax.set_ylabel("pitch")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path

@@ -348,3 +348,12 @@ def test_exp_manager_provenance_snapshot(tmp_path):
     exp.close()
     log_files = list(root.glob("log_process-*.txt"))
     assert log_files and "provenance-test-record" in log_files[0].read_text()
+
+
+def test_plot_multipitch_written(tmp_path):
+    from roar_tpu.training.callbacks import plot_multipitch_to_file
+
+    gt = np.abs(np.sin(np.linspace(0, 6, 80))) * 200
+    pred = gt + np.random.default_rng(0).normal(0, 5, 80)
+    out = plot_multipitch_to_file(gt, pred, str(tmp_path / "mp.png"))
+    assert out is None or (tmp_path / "mp.png").stat().st_size > 0

@@ -122,3 +122,20 @@ def test_rand_slice_segments_within_bounds():
 def test_mask_from_lens():
     m = np.asarray(mask_from_lens(jnp.asarray([3, 1]), 4))
     np.testing.assert_array_equal(m, [[1, 1, 1, 0], [1, 0, 0, 0]])
+
+
+def test_mask_sequence_tensor_ranks():
+    """mask_sequence_tensor (ref helpers.py:852-876): zeros beyond lengths
+    on the last axis for rank 2/3/4; rejects other ranks."""
+    import pytest
+
+    from roar_tpu.ops.lengths import mask_sequence_tensor
+
+    lens = jnp.asarray([2, 3])
+    for shape in [(2, 4), (2, 3, 4), (2, 3, 2, 4)]:
+        x = jnp.ones(shape)
+        out = np.asarray(mask_sequence_tensor(x, lens))
+        assert out[0, ..., :2].min() == 1.0 and out[0, ..., 2:].max() == 0.0
+        assert out[1, ..., :3].min() == 1.0 and out[1, ..., 3:].max() == 0.0
+    with pytest.raises(ValueError):
+        mask_sequence_tensor(jnp.ones((2, 1, 1, 1, 4)), lens)
