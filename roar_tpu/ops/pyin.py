@@ -409,17 +409,17 @@ def trough_probabilities_compact(
     bonus = cfg.no_trough_prob * empty_mass
     has_trough = jnp.any(is_trough, axis=-1)
 
-    # scatter slot probabilities back onto the period axis
-    flat_probs = probs_k.reshape(-1, k_slots)
-    flat_pos = pos_c.reshape(-1, k_slots)
-    flat_valid = slot_valid.reshape(-1, k_slots)
-    f = flat_probs.shape[0]
-    out = jnp.zeros((f, p), probs_k.dtype)
-    rows = jnp.broadcast_to(jnp.arange(f)[:, None], flat_pos.shape)
-    out = out.at[rows.reshape(-1), flat_pos.reshape(-1)].add(
-        jnp.where(flat_valid, flat_probs, 0.0).reshape(-1)
-    )
-    out = out.reshape(probs_k.shape[:-1] + (p,))
+    # slot probabilities back onto the period axis WITHOUT a scatter: TPU
+    # scatters serialize (measured 10-100x slower than the whole rest of the
+    # stage); the writeback is a batched one-hot contraction over the slot
+    # axis instead — XLA fuses the (pos == q) comparison into the matmul
+    # operand, so the [F, K, P] one-hot never hits HBM.  Bit-identical to
+    # the scatter (slots land on distinct periods).
+    onehot_pos = (
+        pos_c[..., :, None] == jnp.arange(p)[None, None, :]
+    ).astype(probs_k.dtype)
+    probs_masked = jnp.where(slot_valid, probs_k, 0.0)
+    out = jnp.einsum("...k,...kq->...q", probs_masked, onehot_pos)
     onehot = jax.nn.one_hot(global_min, p, dtype=out.dtype)
     out = out + jnp.where(has_trough[..., None], onehot * bonus[..., None], 0.0)
     return out
