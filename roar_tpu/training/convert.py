@@ -248,3 +248,48 @@ def apply_mapped_params(params: Any, mapped: Dict[str, np.ndarray]) -> Tuple[Any
             new_leaves.append(v)
             missing.append(path)
     return tree_unflatten(treedef, new_leaves), loaded, missing
+
+
+def _conv2d(w):
+    """torch Conv2d [out, in, kh, kw] -> flax [kh, kw, in, out]."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0)).copy()
+
+
+def map_hifigan_mpd_state_dict(sd: Dict[str, Any], periods=(2, 3, 5, 7, 11)) -> Dict[str, np.ndarray]:
+    """Map the reference MultiPeriodDiscriminator state dict
+    (roar/collections/tts/modules/hifigan_modules.py:257-390; weight-normed
+    Conv2d stacks stored as weight_g/weight_v) to flax MultiPeriodDiscriminator
+    paths (models/hifigan.py: disc_p{period}/convs_{j} WeightNorm wrappers,
+    conv_post = Conv_5).
+
+    With the generator mapping this completes vocoder-checkpoint
+    continuation: a reference-trained HiFi-GAN (G + MPD) restarts training
+    in roar_tpu without re-warming the discriminator."""
+    out: Dict[str, np.ndarray] = {}
+    bases = {k[: -len(".weight_g")] for k in sd if k.endswith(".weight_g")}
+    for base in sorted(bases):
+        k = base
+        for pre in ("mpd.", "multiperioddisc."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        if not k.startswith("discriminators."):
+            continue
+        parts = k.split(".")
+        di = int(parts[1])
+        period = periods[di]
+        scope = f"disc_p{period}"
+        w = _conv2d(_wn_effective(sd[base + ".weight_g"], sd[base + ".weight_v"]))
+        kernel, scale = _wn_flax(w)
+        if parts[2] == "convs":
+            j = int(parts[3])
+            layer, wn = f"Conv_{j}", f"convs_{j}"
+        elif parts[2] == "conv_post":
+            layer, wn = "Conv_5", "conv_post"
+        else:
+            continue
+        out[f"params/{scope}/{layer}/kernel"] = kernel
+        out[f"params/{scope}/{wn}/{layer}/kernel/scale"] = scale
+        bias = sd.get(base + ".bias")
+        if bias is not None:
+            out[f"params/{scope}/{layer}/bias"] = np.asarray(bias, np.float32)
+    return out

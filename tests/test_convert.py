@@ -483,3 +483,62 @@ class TestReferenceFullFastPitchParity:
             np.testing.assert_allclose(
                 got[i, :n], ref_spect[i, :n], atol=5e-4, rtol=1e-3
             )
+
+
+class TestReferenceMPDParity:
+    """Transplant parity vs the REAL reference MultiPeriodDiscriminator
+    (hifigan_modules.py:257-390): with the generator mapping this completes
+    vocoder checkpoint continuation (G + MPD)."""
+
+    def test_reference_mpd_parity(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from reference_import import import_reference_module
+
+        ref = import_reference_module("roar.collections.tts.modules.hifigan_modules")
+        from roar_tpu.models.hifigan import MultiPeriodDiscriminator
+        from roar_tpu.training.convert import map_hifigan_mpd_state_dict
+
+        torch.manual_seed(0)
+        tmpd = ref.MultiPeriodDiscriminator(debug=True).eval()
+        fmpd = MultiPeriodDiscriminator(debug=True)
+
+        rng = np.random.default_rng(7)
+        y = rng.standard_normal((2, 4410)).astype(np.float32) * 0.2
+        y_hat = rng.standard_normal((2, 4410)).astype(np.float32) * 0.2
+
+        params = fmpd.init(jax.random.PRNGKey(0), jnp.asarray(y), jnp.asarray(y_hat))
+        sd = {k: v.detach().numpy() for k, v in tmpd.state_dict().items()}
+        mapped = map_hifigan_mpd_state_dict(sd)
+        new_params, loaded, _ = apply_mapped_params(params, mapped)
+        n_expected = len({k.rsplit(".", 1)[0] for k in sd}) * 2 + len(
+            [k for k in sd if k.endswith(".bias")]
+        ) - len({k.rsplit(".", 1)[0] for k in sd})  # kernel+scale per conv, +bias
+        assert len(loaded) == len(mapped), (len(loaded), len(mapped))
+        assert len(mapped) == 6 * 5 * 3  # 5 periods x 6 convs x (kernel,scale,bias)
+
+        with torch.no_grad():
+            t_real, t_fake, t_fr, t_ff = tmpd(
+                y=torch.tensor(y).unsqueeze(1), y_hat=torch.tensor(y_hat).unsqueeze(1)
+            )
+        f_real, f_fake, f_fr, f_ff = fmpd.apply(
+            new_params, jnp.asarray(y), jnp.asarray(y_hat)
+        )
+        assert len(f_real) == len(t_real) == 5
+        for i in range(5):
+            np.testing.assert_allclose(
+                np.asarray(f_real[i]).reshape(t_real[i].shape), t_real[i].numpy(),
+                atol=3e-4, rtol=1e-3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(f_fake[i]).reshape(t_fake[i].shape), t_fake[i].numpy(),
+                atol=3e-4, rtol=1e-3,
+            )
+            # last feature map too (shape differs only in layout)
+            tf = t_fr[i][-1].numpy()  # [B, C, H, W]
+            ff = np.asarray(f_fr[i][-1])  # [B, H, W, C]
+            np.testing.assert_allclose(
+                ff.transpose(0, 3, 1, 2), tf, atol=3e-4, rtol=1e-3
+            )
