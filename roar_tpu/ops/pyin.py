@@ -419,7 +419,14 @@ def trough_probabilities_compact(
         pos_c[..., :, None] == jnp.arange(p)[None, None, :]
     ).astype(probs_k.dtype)
     probs_masked = jnp.where(slot_valid, probs_k, 0.0)
-    out = jnp.einsum("...k,...kq->...q", probs_masked, onehot_pos)
+    # precision=HIGHEST: each output picks exactly ONE prob (slots land on
+    # distinct periods), so MXU bf16 operand truncation would round every
+    # trough probability; fp32 keeps the writeback bit-exact vs the scatter
+    # at negligible cost (the contraction is ~3 GFLOP).
+    out = jnp.einsum(
+        "...k,...kq->...q", probs_masked, onehot_pos,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     onehot = jax.nn.one_hot(global_min, p, dtype=out.dtype)
     out = out + jnp.where(has_trough[..., None], onehot * bonus[..., None], 0.0)
     return out

@@ -283,33 +283,42 @@ class ExpManager:
         import subprocess
         import sys
 
+        # shared snapshots are process-0-only (the reference's rank-0
+        # exp_manager writes); multi-host runs share one exp dir and
+        # concurrent write_text calls would interleave
+        is_proc0 = True
         try:
-            (self.root / "cmd-args.log").write_text(" ".join(sys.argv) + "\n")
+            is_proc0 = jax.process_index() == 0
         except Exception:
             pass
-        try:
-            head = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                capture_output=True, text=True, timeout=10,
-            )
-            if head.returncode == 0:
-                diff = subprocess.run(
-                    ["git", "diff"], capture_output=True, text=True, timeout=10
-                )
-                (self.root / "git-info.log").write_text(
-                    f"commit: {head.stdout.strip()}\n\n{diff.stdout}"
-                )
-        except Exception:
-            pass
-        if self.config is not None:
+        if is_proc0:
             try:
-                import yaml
-
-                (self.root / "config.yaml").write_text(
-                    yaml.safe_dump(self.config, sort_keys=False)
-                )
+                (self.root / "cmd-args.log").write_text(" ".join(sys.argv) + "\n")
             except Exception:
                 pass
+            try:
+                head = subprocess.run(
+                    ["git", "rev-parse", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                )
+                if head.returncode == 0:
+                    diff = subprocess.run(
+                        ["git", "diff"], capture_output=True, text=True, timeout=10
+                    )
+                    (self.root / "git-info.log").write_text(
+                        f"commit: {head.stdout.strip()}\n\n{diff.stdout}"
+                    )
+            except Exception:
+                pass
+            if self.config is not None:
+                try:
+                    import yaml
+
+                    (self.root / "config.yaml").write_text(
+                        yaml.safe_dump(self.config, sort_keys=False)
+                    )
+                except Exception:
+                    pass
         self._log_handler = None
         if self.log_local:
             try:

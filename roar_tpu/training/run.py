@@ -51,7 +51,7 @@ def parse_dataset_as_name(name) -> str:
     import os
 
     s = str(name)
-    if os.path.exists(s) or os.path.isdir(s):
+    if os.path.exists(s):
         from pathlib import Path
 
         s = Path(s).stem
@@ -74,10 +74,10 @@ def build_validation_datasets(ds_cfg: Dict[str, Any], builder):
     dataset.  `builder(ds_cfg)` constructs one dataset from one config."""
     paths = ds_cfg.get("manifest_filepath")
     if isinstance(paths, str) and "," in paths:
-        paths = paths.split(",")
+        paths = [p.strip() for p in paths.split(",")]
     if not isinstance(paths, (list, tuple)) or len(paths) <= 1:
         return builder(ds_cfg)
-    names, sets = [], {}
+    sets = {}
     for p in paths:
         name = parse_dataset_as_name(p)
         if name in sets:
@@ -604,10 +604,16 @@ def run_test(
         totals: Dict[str, float] = {}
         n = 0
         for batch in batch_iterator(ds, sampler, buckets, num_workers=num_workers):
+            # sample-weighted epoch mean (the reference's trainer.test()
+            # semantics): the ragged final batch contributes by its true
+            # size, not as one equal-weight batch mean.  (Under dp>1
+            # shard_batch may duplicate trailing rows inside that batch's
+            # own mean — a second-order effect bounded by 1/batch_size.)
+            w = int(jax.tree_util.tree_leaves(batch)[0].shape[0])
             m = _metrics(params, shard_batch(batch, mesh))
             for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            n += 1
+                totals[k] = totals.get(k, 0.0) + float(v) * w
+            n += w
         if not n:
             continue
         if len(sets) > 1:

@@ -90,20 +90,38 @@ def _freeze_flag(step, spec):
 
 
 def _freeze_specs(tree, modules: Dict[str, Any]):
-    """(treedef, per-leaf schedule list): leaves whose path string contains a
-    module name get that module's schedule (None = never frozen).  Unknown
-    module names error, like the reference's getattr (modelPT.py:1824)."""
+    """(treedef, per-leaf schedule list): a module name matches a leaf when
+    its '/'-separated components appear as a CONTIGUOUS run of the leaf's
+    path components (so 'proj' matches the top-level proj head but not
+    key_proj/query_proj); when several names match a leaf the most specific
+    (longest) wins.  Unknown module names error, like the reference's
+    getattr (modelPT.py:1824); None = never frozen."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-    paths = ["/".join(str(getattr(k, "key", k)) for k in kp) for kp, _ in flat]
-    for name in modules:
-        if not any(name in p for p in paths):
+    paths = [
+        tuple(str(getattr(k, "key", k)) for k in kp) for kp, _ in flat
+    ]
+
+    def matches(name_parts, path):
+        n = len(name_parts)
+        return any(path[i : i + n] == name_parts for i in range(len(path) - n + 1))
+
+    name_parts = {
+        name: tuple(name.split("/")) for name in modules
+    }
+    for name, parts in name_parts.items():
+        if not any(matches(parts, p) for p in paths):
             raise ValueError(
                 f"freeze_updates module '{name}' matches no parameter path; "
-                f"top-level params: {sorted({p.split('/')[0] for p in paths})}"
+                f"top-level params: {sorted({p[0] for p in paths})}"
             )
-    specs = [
-        next((s for n, s in modules.items() if n in p), None) for p in paths
-    ]
+    specs = []
+    for p in paths:
+        best = None
+        best_len = -1
+        for name, parts in name_parts.items():
+            if len(parts) > best_len and matches(parts, p):
+                best, best_len = modules[name], len(parts)
+        specs.append(best)
     return treedef, specs
 
 
@@ -114,6 +132,7 @@ def make_train_step(
     donate: bool = True,
     precision: Optional[str] = None,
     freeze_updates: Optional[Dict[str, Any]] = None,
+    steps_per_update: int = 1,
 ):
     """Build a jitted train step from `loss_fn(params, batch, rng, epoch) ->
     (loss, metrics)`.
@@ -151,7 +170,11 @@ def make_train_step(
         if use_bf16:
             grads = cast_floating(grads, jnp.float32)
         if freeze_modules:
-            num_updates = state.step + 1  # reference: global_step + 1
+            # reference: trainer.global_step + 1 counts OPTIMIZER updates;
+            # with gradient accumulation state.step counts micro-batches, so
+            # divide by steps_per_update (optax.MultiSteps k) to keep the
+            # freeze window measured in updates
+            num_updates = state.step // steps_per_update + 1
             treedef, specs = _freeze_specs(grads, freeze_modules)
             keeps = [
                 None
@@ -230,6 +253,7 @@ class Trainer:
         self._train_step = make_train_step(
             self.loss_fn, self.optimizer, self.ema_decay, precision=self.precision,
             freeze_updates=self.freeze_updates,
+            steps_per_update=max(self.accumulate_grad_batches, 1),
         )
         self._rng = jax.random.PRNGKey(self.seed)
         self._jitted_evals: Dict[Any, Callable] = {}
@@ -303,6 +327,20 @@ class Trainer:
         if jit and not isinstance(eval_fn, jax.stages.Wrapped):
             jitted = self._jitted_evals.get(eval_fn)
             if jitted is None:
+                if len(self._jitted_evals) >= 8:
+                    # fresh closure per call defeats both this cache and
+                    # jax.jit's trace cache (a new compile per epoch and an
+                    # executable held alive per entry) — surface it and
+                    # drop the oldest entry to bound memory
+                    import warnings
+
+                    warnings.warn(
+                        "Trainer.evaluate keeps receiving NEW eval_fn "
+                        "objects; pass one stable function (per-epoch "
+                        "scalars go through extra_args) to avoid a "
+                        "recompile per call."
+                    )
+                    self._jitted_evals.pop(next(iter(self._jitted_evals)))
                 jitted = self._jitted_evals[eval_fn] = jax.jit(eval_fn)
             eval_fn = jitted
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params

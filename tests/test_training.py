@@ -556,3 +556,49 @@ def test_dynamic_freezing_schedules():
     bstate = bad.init_state(params)
     with pytest.raises(ValueError, match="matches no parameter path"):
         bad.run_epoch(bstate, [batch])
+
+
+def test_dynamic_freezing_counts_optimizer_updates_and_specificity():
+    """With gradient accumulation the freeze window counts OPTIMIZER updates
+    (reference global_step), not micro-batches; module names match whole
+    path components (no substring bleed) with longest-name-wins."""
+    import optax
+
+    from roar_tpu.training.trainer import Trainer, make_train_step, create_train_state
+
+    def loss_fn(p, b, r, e):
+        loss = (p["enc"]["w"] - 3.0) ** 2 + (p["enc_extra"]["w"] - 3.0) ** 2
+        return loss, {"loss": loss}
+
+    # accumulate 2 micro-batches per update; freeze enc for 1 UPDATE
+    trainer = Trainer(
+        loss_fn=loss_fn, optimizer=optax.sgd(0.1), accumulate_grad_batches=2,
+        freeze_updates={"modules": {"enc": 1}},
+    )
+    params = {"enc": {"w": jnp.asarray(0.0)}, "enc_extra": {"w": jnp.asarray(0.0)}}
+    state = trainer.init_state(params)
+    batch = {"x": np.zeros((1,), np.float32)}
+    vals = []
+    for _ in range(4):  # 4 micro-batches = 2 optimizer updates
+        state, _ = trainer.run_epoch(state, [batch])
+        vals.append({k: float(state.params[k]["w"]) for k in params})
+    # 'enc' must NOT freeze 'enc_extra' (component matching, no substring)
+    assert vals[1]["enc_extra"] != 0.0
+    # update 1 (micro-batches 1-2): enc frozen; update 2 (3-4): enc moves
+    assert vals[1]["enc"] == 0.0
+    assert vals[3]["enc"] != 0.0
+
+    # longest-name-wins: enc frozen forever, enc/w... nested specificity
+    def loss2(p, b, r, e):
+        loss = (p["m"]["a"]["w"] - 1.0) ** 2 + (p["m"]["b"]["w"] - 1.0) ** 2
+        return loss, {"loss": loss}
+
+    step = make_train_step(
+        loss2, optax.sgd(0.1),
+        freeze_updates={"modules": {"m": -1, "m/a": 0}},  # m/a never frozen (0 updates)
+    )
+    p2 = {"m": {"a": {"w": jnp.asarray(0.0)}, "b": {"w": jnp.asarray(0.0)}}}
+    st = create_train_state(p2, optax.sgd(0.1))
+    st, _ = step(st, batch, jax.random.PRNGKey(0), 0)
+    assert float(st.params["m"]["a"]["w"]) != 0.0  # specific spec wins
+    assert float(st.params["m"]["b"]["w"]) == 0.0  # outer -1 freeze holds
