@@ -542,3 +542,80 @@ class TestReferenceMPDParity:
             np.testing.assert_allclose(
                 ff.transpose(0, 3, 1, 2), tf, atol=3e-4, rtol=1e-3
             )
+
+
+def test_vocoder_checkpoint_continuation_gan_step():
+    """End-to-end continuation: a reference-style HiFi-GAN checkpoint
+    (Generator + MPD weight-normed state dicts from the ACTUAL reference
+    modules) transplants into a HifiGanModel training state and takes one
+    finite GAN step — a reference-trained vocoder resumes adversarial
+    training here."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from reference_import import import_reference_module
+
+    ref = import_reference_module("roar.collections.tts.modules.hifigan_modules")
+    from roar_tpu.models.hifigan_model import HifiGanModel
+    from roar_tpu.training.convert import (
+        map_hifigan_generator_state_dict,
+        map_hifigan_mpd_state_dict,
+    )
+    from roar_tpu.training.optim import build_optimizer
+
+    torch.manual_seed(0)
+    gen_kw = dict(
+        resblock=2, upsample_rates=[8, 4], upsample_kernel_sizes=[16, 8],
+        upsample_initial_channel=16, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3]], initial_input_size=16,
+    )
+    tgen = ref.Generator(**gen_kw).eval()
+    tmpd = ref.MultiPeriodDiscriminator(debug=True).eval()
+
+    cfg = {
+        "preprocessor": {"sample_rate": 22050, "nfilt": 16, "n_window_size": 256,
+                         "n_window_stride": 32, "n_fft": 256, "highfreq": 8000,
+                         "preemph": None, "normalize": None, "mag_power": 1.0,
+                         "log_zero_guard_type": "clamp",
+                         "log_zero_guard_value": 1e-05, "dither": 0.0,
+                         "pad_to": 0, "exact_pad": True},
+        "generator": {"resblock": 2, "upsample_rates": [8, 4],
+                      "upsample_kernel_sizes": [16, 8],
+                      "upsample_initial_channel": 16,
+                      "resblock_kernel_sizes": [3],
+                      "resblock_dilation_sizes": [[1, 3]]},
+        "debug": True,
+        "optim": {"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]},
+    }
+    model = HifiGanModel(cfg)
+    seg = 1024
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": jnp.asarray(rng.standard_normal((2, seg)) * 0.1, jnp.float32),
+        "audio_len": jnp.full((2,), seg, jnp.int32),
+    }
+    g_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+
+    g_sd = {k: v.detach().numpy() for k, v in tgen.state_dict().items()}
+    g_mapped = map_hifigan_generator_state_dict(g_sd, num_kernels=1, resblock=2)
+    new_g, loaded_g, _ = apply_mapped_params(state.g_params, g_mapped)
+    assert len(loaded_g) == len(g_mapped) and loaded_g
+
+    mpd_sd = {k: v.detach().numpy() for k, v in tmpd.state_dict().items()}
+    mpd_mapped = {
+        k.replace("params/", "params/mpd/"): v
+        for k, v in map_hifigan_mpd_state_dict(mpd_sd).items()
+    }
+    new_d, loaded_d, _ = apply_mapped_params(
+        {"params": state.d_params["params"]}, mpd_mapped
+    )
+    assert len(loaded_d) == len(mpd_mapped) and loaded_d
+
+    state = state.replace(g_params=new_g, d_params=new_d)
+    step = model.make_train_step(g_opt, d_opt)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), 0)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
