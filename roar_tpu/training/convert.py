@@ -293,3 +293,75 @@ def map_hifigan_mpd_state_dict(sd: Dict[str, Any], periods=(2, 3, 5, 7, 11)) -> 
         if bias is not None:
             out[f"params/{scope}/{layer}/bias"] = np.asarray(bias, np.float32)
     return out
+
+
+def map_hifigan_msd_state_dict(
+    sd: Dict[str, Any],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Map the reference MultiScaleDiscriminator state dict
+    (hifigan_modules.py:392-476: scale 0 spectral-normed, scales 1-2
+    weight-normed Conv1d stacks) to flax MultiScaleDiscriminator variables.
+
+    Returns (params_map, batch_stats_map).  Spectral-norm transplant bakes
+    W_eff = weight_orig / (u^T W v) — torch's eval-mode effective weight —
+    into the flax kernel and seeds flax's power-iteration state with
+    W_eff's true top right-singular vector, making flax's one-step sigma
+    equal W_eff's spectral norm.  For a TRAINED checkpoint (converged u/v,
+    the only case that matters) that norm is ~1 and the transplant is
+    exact; a freshly-initialized torch module carries unconverged u/v whose
+    sigma is not yet the spectral norm, so flax (which always normalizes by
+    the true norm) would legitimately differ there.
+    """
+    params: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    def put_conv(scope: str, j_layer: str, wn_scope: str, w_flax: np.ndarray,
+                 bias, spectral: bool):
+        if spectral:
+            params[f"params/{scope}/{j_layer}/kernel"] = w_flax.astype(np.float32)
+            m = w_flax.reshape(-1, w_flax.shape[-1]).astype(np.float64)
+            # top right-singular vector of the flax-layout matrix
+            _, _, vh = np.linalg.svd(m, full_matrices=False)
+            stats[f"batch_stats/{scope}/{wn_scope}/{j_layer}/kernel/u"] = (
+                vh[0][None, :].astype(np.float32)
+            )
+            stats[f"batch_stats/{scope}/{wn_scope}/{j_layer}/kernel/sigma"] = (
+                np.float32(1.0)
+            )
+        else:
+            kernel, scale = _wn_flax(w_flax)
+            params[f"params/{scope}/{j_layer}/kernel"] = kernel
+            params[f"params/{scope}/{wn_scope}/{j_layer}/kernel/scale"] = scale
+        if bias is not None:
+            params[f"params/{scope}/{j_layer}/bias"] = np.asarray(bias, np.float32)
+
+    layers = {k.split(".weight_orig")[0] for k in sd if k.endswith(".weight_orig")}
+    layers |= {k.split(".weight_g")[0] for k in sd if k.endswith(".weight_g")}
+    for base in sorted(layers):
+        k = base
+        for pre in ("msd.", "multiscaledisc."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        if not k.startswith("discriminators."):
+            continue
+        parts = k.split(".")
+        di = int(parts[1])
+        scope = f"disc_s{di}"
+        if parts[2] == "convs":
+            j = int(parts[3])
+            j_layer, wn_scope = f"Conv_{j}", f"convs_{j}"
+        elif parts[2] == "conv_post":
+            j_layer, wn_scope = "Conv_7", "conv_post"
+        else:
+            continue
+        bias = sd.get(base + ".bias")
+        if base + ".weight_orig" in sd:  # spectral norm (scale 0)
+            w_orig = np.asarray(sd[base + ".weight_orig"], np.float64)
+            u = np.asarray(sd[base + ".weight_u"], np.float64)
+            v = np.asarray(sd[base + ".weight_v"], np.float64)
+            sigma = float(u @ w_orig.reshape(w_orig.shape[0], -1) @ v)
+            put_conv(scope, j_layer, wn_scope, _conv(w_orig / sigma), bias, True)
+        else:  # weight norm (scales 1-2)
+            w = _wn_effective(sd[base + ".weight_g"], sd[base + ".weight_v"])
+            put_conv(scope, j_layer, wn_scope, _conv(w), bias, False)
+    return params, stats

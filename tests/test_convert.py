@@ -619,3 +619,72 @@ def test_vocoder_checkpoint_continuation_gan_step():
     state, metrics = step(state, batch, jax.random.PRNGKey(1), 0)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+class TestReferenceMSDParity:
+    """Transplant parity vs the REAL reference MultiScaleDiscriminator —
+    including the spectral-normed first scale (exact-by-construction: W_eff
+    baked into the kernel, power-iteration state seeded with its true top
+    singular vector so flax's one-step sigma is 1)."""
+
+    def test_reference_msd_parity(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from reference_import import import_reference_module
+
+        ref = import_reference_module("roar.collections.tts.modules.hifigan_modules")
+        from roar_tpu.models.hifigan import MultiScaleDiscriminator
+        from roar_tpu.training.convert import map_hifigan_msd_state_dict
+
+        torch.manual_seed(0)
+        tmsd = ref.MultiScaleDiscriminator(debug=True)
+
+        rng = np.random.default_rng(9)
+        y = rng.standard_normal((2, 4096)).astype(np.float32) * 0.2
+        y_hat = rng.standard_normal((2, 4096)).astype(np.float32) * 0.2
+
+        # converge torch's spectral-norm power iteration (one step per train
+        # forward): a TRAINED checkpoint always carries converged u/v, but a
+        # fresh module's sigma = u^T W v is not yet the spectral norm, while
+        # flax always normalizes by the true norm
+        tmsd.train()
+        with torch.no_grad():
+            for _ in range(200):
+                tmsd(y=torch.tensor(y).unsqueeze(1), y_hat=torch.tensor(y_hat).unsqueeze(1))
+        tmsd = tmsd.eval()
+        fmsd = MultiScaleDiscriminator(debug=True)
+
+        vs = fmsd.init(jax.random.PRNGKey(0), jnp.asarray(y), jnp.asarray(y_hat))
+        sd = {k: v.detach().numpy() for k, v in tmsd.state_dict().items()}
+        p_map, s_map = map_hifigan_msd_state_dict(sd)
+        new_params, loaded_p, _ = apply_mapped_params(
+            {"params": vs["params"]}, p_map
+        )
+        new_stats, loaded_s, _ = apply_mapped_params(
+            {"batch_stats": vs["batch_stats"]}, s_map
+        )
+        assert len(loaded_p) == len(p_map) and len(loaded_s) == len(s_map)
+        # 3 scales x 8 convs: scale0 kernel+bias (16) + u/sigma in stats (16);
+        # scales 1-2 kernel+scale+bias (3*8*2 = 48)
+        assert len(p_map) == 16 + 48 and len(s_map) == 16
+
+        with torch.no_grad():
+            t_real, t_fake, t_fr, t_ff = tmsd(
+                y=torch.tensor(y).unsqueeze(1), y_hat=torch.tensor(y_hat).unsqueeze(1)
+            )
+        f_real, f_fake, f_fr, f_ff = fmsd.apply(
+            {"params": new_params["params"], "batch_stats": new_stats["batch_stats"]},
+            jnp.asarray(y), jnp.asarray(y_hat), update_stats=False,
+        )
+        assert len(f_real) == len(t_real) == 3
+        for i in range(3):
+            # scale 0 tolerance is set by torch's power-iteration residual
+            tol = dict(atol=3e-3, rtol=5e-3) if i == 0 else dict(atol=5e-4, rtol=1e-3)
+            np.testing.assert_allclose(
+                np.asarray(f_real[i]).reshape(t_real[i].shape), t_real[i].numpy(), **tol
+            )
+            np.testing.assert_allclose(
+                np.asarray(f_fake[i]).reshape(t_fake[i].shape), t_fake[i].numpy(), **tol
+            )
