@@ -57,6 +57,7 @@ def flash_self_attention(q, k, v, key_mask, scale):
     real tokens and the key-padding segment) and the output is sliced back.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
@@ -80,7 +81,20 @@ def flash_self_attention(q, k, v, key_mask, scale):
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     seg = SegmentIds(q=ids, kv=ids)
-    out = flash_attention(qt, kt, vt, segment_ids=seg, sm_scale=scale)
+    # 1024-wide blocks (capped by the padded length): measured on v5e, the
+    # kernel's small default blocks lose to SDPA everywhere, while 1024x1024
+    # beats SDPA 2.7x at T=4096 (and at T>=8192 SDPA's [B,H,T,T] logits
+    # don't fit HBM at all) — see scripts/benchmarks/attention_bench.py
+    bq = bkv = min(1024, t_pad)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv,
+        block_k_dkv=bkv, block_q_dkv=bq,
+        block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
+    )
+    out = flash_attention(
+        qt, kt, vt, segment_ids=seg, sm_scale=scale, block_sizes=bs
+    )
     return jnp.swapaxes(out, 1, 2)[:, :t]
 
 
