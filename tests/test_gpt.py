@@ -93,3 +93,18 @@ def test_generate():
     out3 = generate(model, params, prompt, 5, temperature=1.0, top_k=5,
                     rng=jax.random.PRNGKey(3))
     assert out3.shape == (1, 8)
+
+
+def test_use_flash_falls_back_identically_off_tpu():
+    """GPTConfig(use_flash=True) uses the Pallas causal kernel only on TPU
+    (measured 2.2x train step at seq 4k, DESIGN.md 7c); on other backends
+    CausalSelfAttention silently takes the einsum path, bit-identical."""
+    kw = dict(vocab_size=64, block_size=64, n_layer=1, n_head=4,
+              n_embd=32, n_query_groups=2, intermediate_size=64)
+    m0 = GPT(GPTConfig(**kw, use_flash=False))
+    m1 = GPT(GPTConfig(**kw, use_flash=True))
+    tok = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 48)), jnp.int32)
+    params = m0.init(jax.random.PRNGKey(0), tok)
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(params, tok)), np.asarray(m1.apply(params, tok))
+    )
