@@ -123,17 +123,68 @@ def bench_jets(args, config_name: str):
     }))
 
 
+def bench_gpt(args):
+    """Causal-LM training step (cross-entropy fwd+bwd) at --seq tokens,
+    optionally through the tuned Pallas causal flash kernel
+    (GPTConfig(use_flash=True), DESIGN.md 7c: 2.2x at seq 4000)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.models.gpt import GPT, GPTConfig
+
+    cfg = GPTConfig(
+        vocab_size=256, block_size=max(args.seq, 128), n_layer=2, n_head=16,
+        n_embd=1024, n_query_groups=4, intermediate_size=2816,
+        rotary_percentage=1.0, use_flash=args.flash,
+    )
+    model = GPT(cfg)
+    rng = np.random.default_rng(0)
+    tok = jnp.asarray(rng.integers(0, 256, (args.batch, args.seq)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 256, (args.batch, args.seq)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tok)
+
+    @jax.jit
+    def step(p):
+        def loss(p):
+            lp = jax.nn.log_softmax(model.apply(p, tok))
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        l, g = jax.value_and_grad(loss)(p)
+        return l + 0.0 * sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+    float(step(params))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(params)
+    float(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": "gpt_train_step_ms", "value": round(dt * 1000, 2),
+        "unit": "ms", "batch": args.batch, "seq": args.seq,
+        "flash": bool(args.flash),
+        "tokens_per_sec": round(args.batch * args.seq / dt, 1),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fastpitch",
-                   choices=["fastpitch", "hifigan", "jets", "jets_conformer"])
+                   choices=["fastpitch", "hifigan", "jets", "jets_conformer", "gpt"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
+    p.add_argument("--seq", type=int, default=4096, help="gpt: tokens per row")
+    p.add_argument("--flash", action="store_true", help="gpt: use_flash=True")
     p.add_argument("--precision", default="none", choices=["none", "bf16"])
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
 
+    if args.model == "gpt":
+        if args.batch == 32:
+            args.batch = 2
+        return bench_gpt(args)
     if args.model == "hifigan":
         return bench_hifigan(args)
     if args.model == "jets":
