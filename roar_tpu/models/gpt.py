@@ -40,9 +40,10 @@ class GPTConfig:
     norm_eps: float = 1e-5
     mlp_class: str = "LLaMAMLP"  # or "GptNeoxMLP"
     parallel_residual: bool = False
-    # Pallas TPU flash attention for the training/prefill path (tuned
-    # 1024-block kernel: measured 2.6-3.3x over SDPA at seq 4096-8192,
-    # DESIGN.md 7c); the KV-cache decode step always uses the einsum path.
+    # Pallas TPU flash attention for the TRAINING path (tuned wide-block
+    # kernel: measured 2.6-3.3x over SDPA at seq 4096-8192, DESIGN.md 7c).
+    # KV-cache decode — including generate()'s cache-prefill call — and
+    # nonzero pos_offset always use the einsum path.
     use_flash: bool = False
 
     @property
@@ -165,10 +166,11 @@ def _causal_flash(q, k, v, mask, scale):
     off.  A padding `mask` (True = valid, trailing False) additionally
     masks pad keys via segment ids."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
         SegmentIds,
         flash_attention,
     )
+
+    from roar_tpu.models.transformer import _flash_block_sizes
 
     t = q.shape[1]
     t_pad = -(-t // 128) * 128
@@ -181,17 +183,10 @@ def _causal_flash(q, k, v, mask, scale):
     if mask is not None:
         ids = jnp.where(mask, 0, 1).astype(jnp.int32)
         seg = SegmentIds(q=ids, kv=ids)
-    bq = bkv = min(1024, t_pad)
-    bs = BlockSizes(
-        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bkv,
-        block_k_dkv=bkv, block_q_dkv=bq,
-        block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
-    )
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
     out = flash_attention(
         qt, kt, vt, causal=True, segment_ids=seg, sm_scale=scale,
-        block_sizes=bs,
+        block_sizes=_flash_block_sizes(t_pad),
     )
     return jnp.swapaxes(out, 1, 2)[:, :t]
 
@@ -233,7 +228,15 @@ class CausalSelfAttention(nn.Module):
         v = jnp.repeat(v, rep, axis=2)
 
         scale = 1.0 / np.sqrt(hs)
-        use_flash = cfg.use_flash and kv_cache is None
+        # flash only on the from-scratch training path: a nonzero pos_offset
+        # shifts the causal diagonal (query i attends keys <= i+offset),
+        # which the kernel's position-aligned causal mask cannot express
+        use_flash = (
+            cfg.use_flash
+            and kv_cache is None
+            and isinstance(pos_offset, int)
+            and pos_offset == 0
+        )
         if use_flash:
             from roar_tpu.models.transformer import _flash_attention_available
 

@@ -47,6 +47,28 @@ def _flash_attention_available() -> bool:
         return False
 
 
+def _flash_block_sizes(t_pad: int):
+    """Tuned BlockSizes for the Pallas flash kernel at padded length t_pad.
+
+    The kernel requires every block size to DIVIDE the (128-padded)
+    sequence length, so we pick the largest multiple of 128 that divides
+    t_pad, capped at 1024 (measured sweet spot, DESIGN.md 7c) — e.g.
+    t_pad 4096 -> 1024, 896 -> 896, 1152 (=128*9) -> 384."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    b = 128
+    for cand in range(min(1024, t_pad), 127, -128):
+        if t_pad % cand == 0:
+            b = cand
+            break
+    return BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b,
+        block_k_dkv=b, block_q_dkv=b,
+        block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
+
+
 def flash_self_attention(q, k, v, key_mask, scale):
     """Pallas TPU flash attention with padding handled via segment ids.
 
@@ -57,7 +79,6 @@ def flash_self_attention(q, k, v, key_mask, scale):
     real tokens and the key-padding segment) and the output is sliced back.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
         SegmentIds,
         flash_attention,
     )
@@ -81,19 +102,14 @@ def flash_self_attention(q, k, v, key_mask, scale):
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     seg = SegmentIds(q=ids, kv=ids)
-    # 1024-wide blocks (capped by the padded length): measured on v5e, the
-    # kernel's small default blocks lose to SDPA everywhere, while 1024x1024
-    # beats SDPA 2.7x at T=4096 (and at T>=8192 SDPA's [B,H,T,T] logits
-    # don't fit HBM at all) — see scripts/benchmarks/attention_bench.py
-    bq = bkv = min(1024, t_pad)
-    bs = BlockSizes(
-        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bkv,
-        block_k_dkv=bkv, block_q_dkv=bq,
-        block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
-    )
+    # tuned wide blocks (capped at 1024, constrained to divide t_pad):
+    # measured on v5e, the kernel's small default blocks lose to SDPA
+    # everywhere, while 1024-wide blocks beat SDPA 2.7x at T=4096 (and at
+    # T>=8192 SDPA's [B,H,T,T] logits don't fit HBM at all) — see
+    # scripts/benchmarks/attention_bench.py and DESIGN.md 7c
     out = flash_attention(
-        qt, kt, vt, segment_ids=seg, sm_scale=scale, block_sizes=bs
+        qt, kt, vt, segment_ids=seg, sm_scale=scale,
+        block_sizes=_flash_block_sizes(t_pad),
     )
     return jnp.swapaxes(out, 1, 2)[:, :t]
 

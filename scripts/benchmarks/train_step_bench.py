@@ -172,7 +172,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fastpitch",
                    choices=["fastpitch", "hifigan", "jets", "jets_conformer", "gpt"])
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
     p.add_argument("--seq", type=int, default=4096, help="gpt: tokens per row")
@@ -181,9 +181,9 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
 
+    if args.batch is None:
+        args.batch = 2 if args.model == "gpt" else 32
     if args.model == "gpt":
-        if args.batch == 32:
-            args.batch = 2
         return bench_gpt(args)
     if args.model == "hifigan":
         return bench_hifigan(args)

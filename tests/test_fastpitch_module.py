@@ -394,3 +394,19 @@ def test_flash_attention_matches_sdpa():
     # kernel-internal rounding differs from the einsum path; 5e-3 on
     # unit-variance activations (measured max 2.4e-3 on a v5e chip)
     np.testing.assert_allclose(out_f * mask, out_s * mask, atol=5e-3, rtol=1e-2)
+
+
+def test_flash_block_sizes_divide_padded_length():
+    """The Pallas kernel requires block sizes to DIVIDE the padded length
+    (regression: hardcoded 1024 blocks crashed any padded length >1024 not
+    a multiple of 1024, e.g. mel 1100 -> pad 1152)."""
+    from roar_tpu.models.transformer import _flash_block_sizes
+
+    for t in [128, 384, 896, 1024, 1152, 1536, 2176, 4096, 8192, 123 * 128]:
+        bs = _flash_block_sizes(t)
+        assert t % bs.block_q == 0, (t, bs.block_q)
+        assert t % bs.block_k_major == 0
+        assert 128 <= bs.block_q <= 1024
+    # the measured sweet spot is reached whenever it divides
+    assert _flash_block_sizes(4096).block_q == 1024
+    assert _flash_block_sizes(1152).block_q == 384  # 1152 = 128*9; largest 128-multiple divisor <= 1024

@@ -99,6 +99,11 @@ def test_use_flash_falls_back_identically_off_tpu():
     """GPTConfig(use_flash=True) uses the Pallas causal kernel only on TPU
     (measured 2.2x train step at seq 4k, DESIGN.md 7c); on other backends
     CausalSelfAttention silently takes the einsum path, bit-identical."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        pytest.skip("fallback-path equality only holds off-TPU (flash has "
+                    "its own internal precision there)")
     kw = dict(vocab_size=64, block_size=64, n_layer=1, n_head=4,
               n_embd=32, n_query_groups=2, intermediate_size=64)
     m0 = GPT(GPTConfig(**kw, use_flash=False))
