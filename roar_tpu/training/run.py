@@ -256,6 +256,23 @@ def _log_tts_artifacts(artifacts, model, state, val_dataset, epoch: int):
         get_logger().warning(f"artifact generation failed: {e}")
 
 
+def _first_batch_indices(sampler, dataset, batch_size):
+    """First sampler batch, with a diagnosable error when filtering +
+    drop_last leave nothing (the raw IndexError hid the cause: e.g. the
+    hifigan recipe's train_min_duration filtering a short corpus below one
+    full batch)."""
+    batches = list(iter(sampler))
+    if not batches:
+        raise ValueError(
+            f"training sampler produced 0 batches: dataset has "
+            f"{len(dataset)} usable items after duration/manifest filtering "
+            f"but batch_size={batch_size} with drop_last needs at least one "
+            f"full batch. Lower batch_size, add data, or relax "
+            f"min/max_duration."
+        )
+    return batches[0]
+
+
 def train_supervised(
     cfg: Dict[str, Any],
     model,
@@ -329,7 +346,12 @@ def train_supervised(
     if prof_cb is not None:
         trainer.callbacks = tuple(trainer.callbacks) + (prof_cb,)
 
-    example = dataset.collate([dataset[i] for i in list(iter(sampler))[0]], buckets) if buckets else dataset.collate([dataset[i] for i in list(iter(sampler))[0]])
+    _first = _first_batch_indices(sampler, dataset, batch_size)
+    example = (
+        dataset.collate([dataset[i] for i in _first], buckets)
+        if buckets
+        else dataset.collate([dataset[i] for i in _first])
+    )
     params = model.init_params(jax.random.PRNGKey(trainer_cfg.get("seed", 0)), example)
     state = trainer.init_state(params)
     state, start_step = exp.maybe_resume(state)
@@ -454,7 +476,7 @@ def train_gan(
         config=cfg,
     )
 
-    first = list(iter(sampler))[0]
+    first = _first_batch_indices(sampler, dataset, batch_size)
     example = (
         dataset.collate([dataset[i] for i in first], buckets)
         if buckets
