@@ -29,6 +29,15 @@ from pathlib import Path
 
 import numpy as np
 
+# Pinned CPU-oracle throughput (frames/sec) for the sup-data pipeline:
+# ops/pyin_reference.py pyin_cpu + numpy windowed-DFT mel on ONE 4 s / 22.05 kHz
+# utterance, single thread, median of 5 runs on an otherwise-idle host
+# (measured r3; see BASELINE.md "Pinned CPU baseline").  The live oracle is
+# still timed each run (vs_live_oracle) as a sanity cross-check, but the
+# headline vs_baseline uses this constant so the ratio is reproducible
+# run-to-run instead of swinging with host load (VERDICT r2 weak-point 2).
+PINNED_CPU_BASELINE_FPS = 9.07
+
 
 def make_audio(batch, seconds, sr, seed=0):
     rng = np.random.default_rng(seed)
@@ -192,13 +201,19 @@ def main():
                 "metric": "supdata_mel_frames_per_sec_per_chip",
                 "value": round(fps, 1),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / cpu_fps, 2),
+                # headline ratio vs the PINNED median-of-5 oracle constant —
+                # reproducible run-to-run; the live single-run oracle ratio
+                # is kept as a cross-check only
+                "vs_baseline": round(fps / PINNED_CPU_BASELINE_FPS, 2),
+                "pinned_baseline_fps": PINNED_CPU_BASELINE_FPS,
+                "vs_live_oracle": round(fps / cpu_fps, 2),
+                "live_oracle_fps": round(cpu_fps, 2),
                 # baseline methodology: librosa is not installed in this
                 # image, so the CPU baseline is ops/pyin_reference.py — a
                 # single-thread numpy/scipy implementation of the same
                 # banded-Viterbi pYIN algorithm librosa runs — timed on one
                 # 4 s utterance and extrapolated to frames/sec.
-                "baseline_method": "pyin_reference.py numpy single-thread, 1x4s utterance",
+                "baseline_method": "pyin_reference.py numpy single-thread, 1x4s utterance, pinned median-of-5",
             }
         )
     )

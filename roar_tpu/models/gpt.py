@@ -25,21 +25,48 @@ from flax import linen as nn
 from roar_tpu.ops.rope import apply_rope, build_rope_cache
 
 
+def find_multiple(n: int, k: int) -> int:
+    """Smallest multiple of k that is >= n (vocab padding for the MXU)."""
+    return n if n % k == 0 else n + k - (n % k)
+
+
 @dataclasses.dataclass(frozen=True)
 class GPTConfig:
-    """Architecture config (nlp/modules/gpt/config.py registry analogue)."""
+    """Architecture config (nlp/modules/gpt/config.py registry analogue).
+
+    Field parity with the reference Config dataclass (config.py:17-66):
+    head_dim <-> head_size override, padded_vocab_size/padding_multiple,
+    scale_embeddings (Gemma), bias/lm_head_bias, shared_attention_norm
+    (falcon-7b, phi), norm_class Layer/RMS, gelu_approximate (phi, Gemma),
+    rope_base/rope_condense_ratio (CodeLlama, 16k-context chat tunes),
+    n_expert/n_expert_per_token (Mixtral LLaMAMoE).  padding_multiple
+    defaults 1 (not the reference's 512) so ad-hoc configs keep their exact
+    vocab; registry entries carry explicit padding."""
 
     vocab_size: int = 32000
     block_size: int = 2048
     n_layer: int = 22
     n_head: int = 32
     n_embd: int = 2048
+    head_dim: Optional[int] = None  # head_size override (Gemma-7b: 256)
     n_query_groups: Optional[int] = 4  # GQA; None -> MHA
     intermediate_size: Optional[int] = 5632
     rotary_percentage: float = 1.0
     norm_eps: float = 1e-5
-    mlp_class: str = "LLaMAMLP"  # or "GptNeoxMLP"
+    norm_class: str = "RMSNorm"  # or "LayerNorm"
+    mlp_class: str = "LLaMAMLP"  # or GptNeoxMLP | GemmaMLP | LLaMAMoE
+    gelu_approximate: str = "none"  # 'tanh' for phi / Gemma
     parallel_residual: bool = False
+    shared_attention_norm: bool = False  # falcon-7b / phi style
+    bias: bool = False  # linear-layer biases (GPT-NeoX lineage: True)
+    lm_head_bias: bool = False  # phi
+    scale_embeddings: bool = False  # Gemma: x *= sqrt(n_embd)
+    padded_vocab_size: Optional[int] = None
+    padding_multiple: int = 1
+    rope_base: float = 10000.0
+    rope_condense_ratio: float = 1.0
+    n_expert: int = 0  # Mixtral MoE
+    n_expert_per_token: int = 0
     # Pallas TPU flash attention for the TRAINING path (tuned wide-block
     # kernel: measured 2.6-3.3x over SDPA at seq 4096-8192, DESIGN.md 7c).
     # KV-cache decode — including generate()'s cache-prefill call — and
@@ -48,7 +75,7 @@ class GPTConfig:
 
     @property
     def head_size(self) -> int:
-        return self.n_embd // self.n_head
+        return self.head_dim or self.n_embd // self.n_head
 
     @property
     def groups(self) -> int:
@@ -58,66 +85,300 @@ class GPTConfig:
     def rope_n_elem(self) -> int:
         return int(self.rotary_percentage * self.head_size)
 
+    @property
+    def padded_vocab(self) -> int:
+        return self.padded_vocab_size or find_multiple(
+            self.vocab_size, self.padding_multiple
+        )
 
+
+# ---------------------------------------------------------------------------
 # Named-architecture registry (nlp/modules/gpt/config.py:17 `Config.from_name`
-# analogue).  Hyperparameters are the public HF model-card values; families
-# covered: TinyLlama, Llama-2, open_llama, Pythia (GPT-NeoX), StableLM.
-def _pythia(n_layer, n_head, n_embd):
+# analogue).  Hyperparameters are the public HF model-card values; families:
+# Pythia/Dolly/RedPajama (GPT-NeoX lineage), Falcon, Llama-2 + derivatives
+# (vicuna, longchat, Nous-Hermes, Platypus, FreeWilly2, function-calling,
+# 32K rope-condensed), open_llama, CodeLlama, TinyLlama, StableLM/StableCode,
+# phi, Gemma, Mistral/Mixtral (MoE).  Family traits are encoded once in the
+# builders below; per-model rows carry only what differs.
+# ---------------------------------------------------------------------------
+
+
+def _neox(n_layer, n_head, n_embd, *, rotary=0.25, parallel=True, **kw):
+    """GPT-NeoX lineage (Pythia/Dolly/RedPajama/StableLM-alpha): LayerNorm,
+    biased linears, GptNeoxMLP, 0.25 rotary unless overridden."""
+    kw.setdefault("vocab_size", 50254)
+    kw.setdefault("padding_multiple", 128)
+    kw.setdefault("block_size", 2048)
+    kw.setdefault("intermediate_size", 4 * n_embd)
     return GPTConfig(
-        vocab_size=50304, block_size=2048, n_layer=n_layer, n_head=n_head,
-        n_embd=n_embd, n_query_groups=None, intermediate_size=4 * n_embd,
-        mlp_class="GptNeoxMLP", parallel_residual=True,
+        n_layer=n_layer, n_head=n_head, n_embd=n_embd, n_query_groups=None,
+        rotary_percentage=rotary, parallel_residual=parallel, bias=True,
+        norm_class="LayerNorm", mlp_class="GptNeoxMLP", **kw,
     )
 
 
+def _llama(n_layer, n_head, n_embd, intermediate, *, groups=None, **kw):
+    """Llama lineage: RMSNorm, SwiGLU, full rotary, no biases."""
+    kw.setdefault("vocab_size", 32000)
+    kw.setdefault("padding_multiple", 64)
+    kw.setdefault("block_size", 4096)
+    return GPTConfig(
+        n_layer=n_layer, n_head=n_head, n_embd=n_embd,
+        intermediate_size=intermediate, n_query_groups=groups,
+        rotary_percentage=1.0, parallel_residual=False, bias=False,
+        norm_class="RMSNorm", mlp_class="LLaMAMLP", **kw,
+    )
+
+
+def _falcon(n_layer, n_head, n_embd, *, groups, **kw):
+    return GPTConfig(
+        vocab_size=65024, padded_vocab_size=65024, block_size=2048,
+        n_layer=n_layer, n_head=n_head, n_embd=n_embd, head_dim=64,
+        n_query_groups=groups, intermediate_size=4 * n_embd,
+        rotary_percentage=1.0, parallel_residual=True, bias=False,
+        norm_class="LayerNorm", mlp_class="GptNeoxMLP", **kw,
+    )
+
+
+def _phi(n_layer, n_embd, rotary):
+    return GPTConfig(
+        vocab_size=50257, padded_vocab_size=51200, block_size=2048,
+        n_layer=n_layer, n_head=32, n_embd=n_embd, n_query_groups=None,
+        intermediate_size=4 * n_embd, rotary_percentage=rotary,
+        parallel_residual=True, shared_attention_norm=True, bias=True,
+        lm_head_bias=True, norm_class="LayerNorm", mlp_class="GptNeoxMLP",
+        gelu_approximate="tanh",
+    )
+
+
+def _gemma(n_layer, n_head, n_embd, intermediate, *, groups=None, head_dim=None):
+    return GPTConfig(
+        vocab_size=256000, padding_multiple=64, block_size=8192,
+        n_layer=n_layer, n_head=n_head, n_embd=n_embd, head_dim=head_dim,
+        n_query_groups=groups, intermediate_size=intermediate,
+        rotary_percentage=1.0, parallel_residual=False, bias=False,
+        norm_class="RMSNorm", mlp_class="GemmaMLP", gelu_approximate="tanh",
+        scale_embeddings=True,
+    )
+
+
+def _mistral(*, block_size, mlp="LLaMAMLP", **kw):
+    return GPTConfig(
+        vocab_size=32000, padded_vocab_size=32000, block_size=block_size,
+        n_layer=32, n_head=32, n_embd=4096, n_query_groups=8,
+        intermediate_size=14336, rotary_percentage=1.0,
+        parallel_residual=False, bias=False, norm_class="RMSNorm",
+        mlp_class=mlp, **kw,
+    )
+
+
+def _stablelm_4e1t(**kw):
+    """stablelm-3b-4e1t generation: SwiGLU + LayerNorm + 0.25 rotary."""
+    kw.setdefault("block_size", 4096)
+    return GPTConfig(
+        vocab_size=50254, padded_vocab_size=50304, n_layer=32, n_head=32,
+        n_embd=2560, n_query_groups=None, intermediate_size=6912,
+        rotary_percentage=0.25, parallel_residual=False, bias=False,
+        norm_class="LayerNorm", mlp_class="LLaMAMLP", **kw,
+    )
+
+
+def _expand(table: Dict[str, tuple]) -> Dict[str, GPTConfig]:
+    """Expand '{}'-template names (reference config.py style): the tuple is
+    (config, [suffixes]); 'falcon-7b{}' + ['', '-instruct'] -> two entries."""
+    out: Dict[str, GPTConfig] = {}
+    for name, (cfg, suffixes) in table.items():
+        for s in suffixes:
+            out[name.format(s)] = cfg
+    return out
+
+
+_LLAMA2_7B = _llama(32, 32, 4096, 11008)
+_LLAMA2_13B = _llama(40, 40, 5120, 13824)
+_LLAMA2_70B = _llama(80, 64, 8192, 28672, groups=8)
+_CODELLAMA = dict(block_size=16384, rope_base=1000000.0, norm_eps=1e-5)
+
 GPT_CONFIGS: Dict[str, GPTConfig] = {
-    "tiny-llama-1.1b": GPTConfig(
-        vocab_size=32000, block_size=2048, n_layer=22, n_head=32, n_embd=2048,
-        n_query_groups=4, intermediate_size=5632,
+    # --- Pythia (EleutherAI suite, 14m..12b) + Dolly-v2 / RedPajama tunes ---
+    "pythia-14m": _neox(6, 4, 128, block_size=512),
+    "pythia-31m": _neox(6, 8, 256, block_size=1024),
+    "pythia-70m": _neox(6, 8, 512),
+    "pythia-160m": _neox(12, 12, 768),
+    "pythia-410m": _neox(24, 16, 1024),
+    "pythia-1b": _neox(16, 8, 2048),
+    "pythia-1.4b": _neox(24, 16, 2048),
+    "pythia-2.8b": _neox(32, 32, 2560),
+    "pythia-6.9b": _neox(32, 32, 4096, padding_multiple=256),
+    "pythia-12b": _neox(36, 40, 5120),
+    "dolly-v2-3b": _neox(32, 32, 2560, padded_vocab_size=50280),
+    "dolly-v2-7b": _neox(32, 32, 4096, padded_vocab_size=50280),
+    "dolly-v2-12b": _neox(36, 40, 5120, padded_vocab_size=50280),
+    # --- open_llama ---
+    "open_llama_3b": _llama(26, 32, 3200, 8640, block_size=2048, norm_eps=1e-6),
+    "open_llama_7b": _llama(32, 32, 4096, 11008, block_size=2048, norm_eps=1e-6),
+    "open_llama_13b": _llama(40, 40, 5120, 13824, block_size=2048, norm_eps=1e-6),
+    # --- vicuna / longchat (llama chat tunes; v1.5-16k condenses rope 4x) ---
+    "vicuna-7b-v1.3": _llama(32, 32, 4096, 11008, block_size=2048, norm_eps=1e-6),
+    "vicuna-13b-v1.3": _llama(40, 40, 5120, 13824, block_size=2048, norm_eps=1e-6),
+    "vicuna-33b-v1.3": _llama(60, 52, 6656, 17920, block_size=2048, norm_eps=1e-6),
+    "vicuna-7b-v1.5": _llama(32, 32, 4096, 11008),
+    "vicuna-7b-v1.5-16k": _llama(
+        32, 32, 4096, 11008, block_size=16384, rope_condense_ratio=4.0
     ),
-    "llama-2-7b": GPTConfig(
-        vocab_size=32000, block_size=4096, n_layer=32, n_head=32, n_embd=4096,
-        n_query_groups=None, intermediate_size=11008,
+    "vicuna-13b-v1.5": _llama(40, 40, 5120, 13824),
+    "vicuna-13b-v1.5-16k": _llama(
+        40, 40, 5120, 13824, block_size=16384, rope_condense_ratio=4.0
     ),
-    "llama-2-13b": GPTConfig(
-        vocab_size=32000, block_size=4096, n_layer=40, n_head=40, n_embd=5120,
-        n_query_groups=None, intermediate_size=13824,
+    "longchat-7b-16k": _llama(
+        32, 32, 4096, 11008, block_size=16384, norm_eps=1e-6,
+        rope_condense_ratio=8.0,
     ),
-    "llama-2-70b": GPTConfig(
-        vocab_size=32000, block_size=4096, n_layer=80, n_head=64, n_embd=8192,
-        n_query_groups=8, intermediate_size=28672,
+    "longchat-13b-16k": _llama(
+        40, 40, 5120, 13824, block_size=16384, norm_eps=1e-6,
+        rope_condense_ratio=8.0,
     ),
-    "open-llama-3b": GPTConfig(
-        vocab_size=32000, block_size=2048, n_layer=26, n_head=32, n_embd=3200,
-        n_query_groups=None, intermediate_size=8640, norm_eps=1e-6,
+    # --- Nous-Hermes / Platypus / FreeWilly2 (llama fine-tune shapes) ---
+    "Nous-Hermes-llama-2-7b": _llama(32, 32, 4096, 11008, padded_vocab_size=32000),
+    "Nous-Hermes-13b": _llama(
+        40, 40, 5120, 13824, block_size=2048, norm_eps=1e-6,
+        padded_vocab_size=32001,
     ),
-    "pythia-70m": _pythia(6, 8, 512),
-    "pythia-160m": _pythia(12, 12, 768),
-    "pythia-410m": _pythia(24, 16, 1024),
-    "pythia-1b": _pythia(16, 8, 2048),
-    "pythia-1.4b": _pythia(24, 16, 2048),
-    "pythia-2.8b": _pythia(32, 32, 2560),
-    "stablelm-base-alpha-3b": GPTConfig(
-        vocab_size=50688, block_size=4096, n_layer=16, n_head=32, n_embd=4096,
-        n_query_groups=None, intermediate_size=16384, mlp_class="GptNeoxMLP",
-        parallel_residual=True, rotary_percentage=0.25,
+    "Nous-Hermes-Llama2-13b": _llama(40, 40, 5120, 13824, padded_vocab_size=32032),
+    "Platypus-30B": _llama(
+        60, 52, 6656, 17920, block_size=2048, norm_eps=1e-6,
+        padded_vocab_size=32000,
     ),
+    "Platypus2-7B": _llama(32, 32, 4096, 11008, padded_vocab_size=32000),
+    "Platypus2-13B": _llama(40, 40, 5120, 13824, padded_vocab_size=32000),
+    "Platypus2-70B": _llama(80, 64, 8192, 28672, padded_vocab_size=32000),
+    "Platypus2-70B-instruct": _llama(
+        80, 64, 8192, 28672, groups=8, padded_vocab_size=32000
+    ),
+    "Camel-Platypus2-13B": _llama(40, 40, 5120, 13824, padded_vocab_size=32000),
+    "Camel-Platypus2-70B": _llama(
+        80, 64, 8192, 28672, groups=8, padded_vocab_size=32000
+    ),
+    "Stable-Platypus2-13B": _llama(40, 40, 5120, 13824, padded_vocab_size=32000),
+    "FreeWilly2": _llama(80, 64, 8192, 28672, groups=8, padded_vocab_size=32000),
+    "LLaMA-2-7B-32K": _llama(32, 32, 4096, 11008, rope_condense_ratio=8.0),
+    "Llama-2-7b-chat-hf-function-calling-v2": _llama(
+        32, 32, 4096, 11008, norm_eps=1e-6
+    ),
+    # --- phi / Gemma ---
+    "phi-1_5": _phi(24, 2048, 0.5),
+    "phi-2": _phi(32, 2560, 0.4),
+    "gemma-2b": _gemma(18, 8, 2048, 16384, groups=1),
+    "gemma-7b": _gemma(28, 16, 3072, 24576, head_dim=256),
+    # --- Mistral / Mixtral ---
+    "Mistral-7B-v0.2": _mistral(block_size=32768),
+    "Mistral-7B-Instruct-v0.2": _mistral(block_size=32768),
+    # --- StableLM / StableCode ---
+    "stablelm-base-alpha-3b": _neox(
+        16, 32, 4096, block_size=4096, padding_multiple=512
+    ),
+    "stablelm-base-alpha-7b": _neox(
+        16, 48, 6144, block_size=4096, padding_multiple=256
+    ),
+    "stablelm-tuned-alpha-3b": _neox(
+        16, 32, 4096, block_size=4096, padding_multiple=512
+    ),
+    "stablelm-tuned-alpha-7b": _neox(
+        16, 48, 6144, block_size=4096, padding_multiple=256
+    ),
+    "stablelm-3b-4e1t": _stablelm_4e1t(),
+    "stablelm-zephyr-3b": _stablelm_4e1t(),
+    "stable-code-3b": _stablelm_4e1t(block_size=16384),
+    "stablecode-completion-alpha-3b": _neox(
+        32, 32, 2560, vocab_size=49152, block_size=16384
+    ),
+    "stablecode-completion-alpha-3b-4k": _neox(
+        32, 32, 2560, vocab_size=49152, block_size=4096
+    ),
+    "stablecode-instruct-alpha-3b": _neox(
+        32, 32, 2560, vocab_size=49152, block_size=4096
+    ),
+    # legacy aliases kept from earlier rounds
+    "tiny-llama-1.1b": _llama(22, 32, 2048, 5632, groups=4, block_size=2048),
+    "llama-2-7b": _LLAMA2_7B,
+    "llama-2-13b": _LLAMA2_13B,
+    "llama-2-70b": _LLAMA2_70B,
+    "open-llama-3b": _llama(26, 32, 3200, 8640, block_size=2048, norm_eps=1e-6),
+    **_expand({
+        "falcon-7b{}": (
+            _falcon(32, 71, 4544, groups=1, shared_attention_norm=True),
+            ["", "-instruct"],
+        ),
+        "falcon-40b{}": (_falcon(60, 128, 8192, groups=8), ["", "-instruct"]),
+        "falcon-180B{}": (_falcon(80, 232, 14848, groups=8), ["", "-chat"]),
+        "Llama-2-7b{}-hf": (_LLAMA2_7B, ["", "-chat"]),
+        "Llama-2-13b{}-hf": (_LLAMA2_13B, ["", "-chat"]),
+        "Llama-2-70b{}-hf": (_LLAMA2_70B, ["", "-chat"]),
+        "TinyLlama-1.1B{}": (
+            _llama(22, 32, 2048, 5632, groups=4, block_size=2048),
+            ["-intermediate-step-1431k-3T", "-Chat-v1.0"],
+        ),
+        "RedPajama-INCITE-{}-3B-v1": (
+            _neox(32, 32, 2560, rotary=1.0, parallel=False,
+                  padding_multiple=256),
+            ["Base", "Chat", "Instruct"],
+        ),
+        "RedPajama-INCITE-7B-{}": (
+            _neox(32, 32, 4096, rotary=1.0, parallel=False,
+                  padding_multiple=256),
+            ["Base", "Chat", "Instruct"],
+        ),
+        "RedPajama-INCITE-{}-7B-v0.1": (
+            _neox(32, 32, 4096, rotary=1.0, parallel=False,
+                  padding_multiple=256),
+            ["Base", "Chat", "Instruct"],
+        ),
+        "CodeLlama-7b{}-hf": (
+            _llama(32, 32, 4096, 11008, vocab_size=32016,
+                   padding_multiple=16, **_CODELLAMA),
+            ["", "-Python", "-Instruct"],
+        ),
+        "CodeLlama-13b{}-hf": (
+            _llama(40, 40, 5120, 13824, vocab_size=32016,
+                   padding_multiple=16, **_CODELLAMA),
+            ["", "-Python", "-Instruct"],
+        ),
+        "CodeLlama-34b{}-hf": (
+            _llama(48, 64, 8192, 22016, groups=8,
+                   padded_vocab_size=32000, **_CODELLAMA),
+            ["", "-Python", "-Instruct"],
+        ),
+        "CodeLlama-70b{}-hf": (
+            _llama(80, 64, 8192, 28672, groups=8, vocab_size=32016,
+                   padding_multiple=16, **_CODELLAMA),
+            ["", "-Python", "-Instruct"],
+        ),
+        "Mistral-7B-{}v0.1": (_mistral(block_size=4096), ["", "Instruct-"]),
+        "Mixtral-8x7B-{}v0.1": (
+            _mistral(block_size=32768, mlp="LLaMAMoE", rope_base=1000000.0,
+                     n_expert=8, n_expert_per_token=2),
+            ["", "Instruct-"],
+        ),
+    }),
 }
 
 
-def config_from_name(name: str) -> GPTConfig:
+def config_from_name(name: str, **overrides) -> GPTConfig:
     """Resolve a config by exact name or shell-style pattern
-    (`Config.from_name` semantics: 'pythia-1*' matches the first entry)."""
-    if name in GPT_CONFIGS:
-        return GPT_CONFIGS[name]
-    import fnmatch
+    (`Config.from_name` semantics: 'pythia-1*' matches the first entry;
+    kwargs override fields, config.py:101-115)."""
+    cfg = GPT_CONFIGS.get(name)
+    if cfg is None:
+        import fnmatch
 
-    for key in GPT_CONFIGS:
-        if fnmatch.fnmatch(key, name):
-            return GPT_CONFIGS[key]
-    raise ValueError(
-        f"unknown GPT config {name!r}; known: {sorted(GPT_CONFIGS)}"
-    )
+        for key in GPT_CONFIGS:
+            if fnmatch.fnmatch(key, name):
+                cfg = GPT_CONFIGS[key]
+                break
+        else:
+            raise ValueError(
+                f"unknown GPT config {name!r}; known: {sorted(GPT_CONFIGS)}"
+            )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
 class RMSNorm(nn.Module):
@@ -137,23 +398,72 @@ class LLaMAMLP(nn.Module):
     """SwiGLU MLP: silu(x W1) * (x W3) W2 — the xformers SwiGLU analogue."""
 
     intermediate_size: int
+    bias: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        gate = nn.Dense(self.intermediate_size, use_bias=False, name="fc_1")(x)
-        up = nn.Dense(self.intermediate_size, use_bias=False, name="fc_2")(x)
-        return nn.Dense(d, use_bias=False, name="proj")(nn.silu(gate) * up)
+        gate = nn.Dense(self.intermediate_size, use_bias=self.bias, name="fc_1")(x)
+        up = nn.Dense(self.intermediate_size, use_bias=self.bias, name="fc_2")(x)
+        return nn.Dense(d, use_bias=self.bias, name="proj")(nn.silu(gate) * up)
+
+
+class GemmaMLP(nn.Module):
+    """Gemma's GeGLU: gelu_tanh(x W1) * (x W3) W2."""
+
+    intermediate_size: int
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        gate = nn.Dense(self.intermediate_size, use_bias=self.bias, name="fc_1")(x)
+        up = nn.Dense(self.intermediate_size, use_bias=self.bias, name="fc_2")(x)
+        return nn.Dense(d, use_bias=self.bias, name="proj")(
+            nn.gelu(gate, approximate=True) * up
+        )
 
 
 class GptNeoxMLP(nn.Module):
     intermediate_size: int
+    bias: bool = True
+    gelu_approximate: str = "none"
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        h = nn.gelu(nn.Dense(self.intermediate_size, name="fc")(x))
-        return nn.Dense(d, name="proj")(h)
+        h = nn.gelu(
+            nn.Dense(self.intermediate_size, use_bias=self.bias, name="fc")(x),
+            approximate=self.gelu_approximate == "tanh",
+        )
+        return nn.Dense(d, use_bias=self.bias, name="proj")(h)
+
+
+def _make_mlp(cfg: "GPTConfig", name: str) -> nn.Module:
+    inter = cfg.intermediate_size or 4 * cfg.n_embd
+    if cfg.mlp_class == "LLaMAMLP":
+        return LLaMAMLP(inter, bias=cfg.bias, name=name)
+    if cfg.mlp_class == "GemmaMLP":
+        return GemmaMLP(inter, bias=cfg.bias, name=name)
+    if cfg.mlp_class == "GptNeoxMLP":
+        return GptNeoxMLP(
+            inter, bias=cfg.bias, gelu_approximate=cfg.gelu_approximate,
+            name=name,
+        )
+    if cfg.mlp_class == "LLaMAMoE":
+        from roar_tpu.models.moe import MoEMLP
+
+        return MoEMLP(
+            n_experts=cfg.n_expert, ff_dim=inter,
+            top_k=cfg.n_expert_per_token, name=name,
+        )
+    raise ValueError(f"unknown mlp_class {cfg.mlp_class!r}")
+
+
+def _make_norm(cfg: "GPTConfig", name: str) -> nn.Module:
+    if cfg.norm_class == "RMSNorm":
+        return RMSNorm(cfg.norm_eps, name=name)
+    return nn.LayerNorm(epsilon=cfg.norm_eps, name=name)
 
 
 def _causal_flash(q, k, v, mask, scale):
@@ -201,13 +511,16 @@ class CausalSelfAttention(nn.Module):
         cfg = self.config
         b, t, _ = x.shape
         hs, nh, ng = cfg.head_size, cfg.n_head, cfg.groups
-        qkv = nn.Dense((nh + 2 * ng) * hs, use_bias=False, name="attn")(x)
+        qkv = nn.Dense((nh + 2 * ng) * hs, use_bias=cfg.bias, name="attn")(x)
         q, k, v = jnp.split(qkv, [nh * hs, (nh + ng) * hs], axis=-1)
         q = q.reshape(b, t, nh, hs)
         k = k.reshape(b, t, ng, hs)
         v = v.reshape(b, t, ng, hs)
 
-        cos, sin = build_rope_cache(cfg.block_size, cfg.rope_n_elem)
+        cos, sin = build_rope_cache(
+            cfg.block_size, cfg.rope_n_elem, base=cfg.rope_base,
+            condense_ratio=cfg.rope_condense_ratio,
+        )
         cos = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos), pos_offset, t, 0)
         sin = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin), pos_offset, t, 0)
         ne = cfg.rope_n_elem
@@ -254,7 +567,7 @@ class CausalSelfAttention(nn.Module):
                 scores = jnp.where(mask[:, None, None, :t_k], scores, -1e9)
             probs = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, nh * hs)
-        out = nn.Dense(cfg.n_embd, use_bias=False, name="proj")(out)
+        out = nn.Dense(cfg.n_embd, use_bias=cfg.bias, name="proj")(out)
         return out, new_cache
 
 
@@ -264,20 +577,28 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, pos_offset=0, kv_cache=None, mask=None):
         cfg = self.config
-        mlp_cls = LLaMAMLP if cfg.mlp_class == "LLaMAMLP" else GptNeoxMLP
+
+        def run_mlp(h_in):
+            out = _make_mlp(cfg, "mlp")(h_in)
+            if cfg.mlp_class == "LLaMAMoE":  # MoEMLP returns (y, aux losses)
+                out, aux = out
+                self.sow("intermediates", "moe_aux", aux)
+            return out
+
+        x_norm = _make_norm(cfg, "norm_1")(x)
         h, new_cache = CausalSelfAttention(cfg, name="attn")(
-            RMSNorm(cfg.norm_eps, name="norm_1")(x), pos_offset, kv_cache, mask
+            x_norm, pos_offset, kv_cache, mask
         )
         if cfg.parallel_residual:
-            m = mlp_cls(cfg.intermediate_size or 4 * cfg.n_embd, name="mlp")(
-                RMSNorm(cfg.norm_eps, name="norm_2")(x)
+            # falcon-7b / phi share norm_1 between the attn and mlp branches
+            m_in = (
+                x_norm
+                if cfg.shared_attention_norm
+                else _make_norm(cfg, "norm_2")(x)
             )
-            return x + h + m, new_cache
+            return x + h + run_mlp(m_in), new_cache
         x = x + h
-        m = mlp_cls(cfg.intermediate_size or 4 * cfg.n_embd, name="mlp")(
-            RMSNorm(cfg.norm_eps, name="norm_2")(x)
-        )
-        return x + m, new_cache
+        return x + run_mlp(_make_norm(cfg, "norm_2")(x)), new_cache
 
 
 class GPT(nn.Module):
@@ -288,14 +609,18 @@ class GPT(nn.Module):
     @nn.compact
     def __call__(self, tokens, pos_offset=0, kv_caches=None, mask=None):
         cfg = self.config
-        x = nn.Embed(cfg.vocab_size, cfg.n_embd, name="wte")(tokens)
+        x = nn.Embed(cfg.padded_vocab, cfg.n_embd, name="wte")(tokens)
+        if cfg.scale_embeddings:  # Gemma
+            x = x * jnp.asarray(np.sqrt(cfg.n_embd), x.dtype)
         new_caches = []
         for i in range(cfg.n_layer):
             cache_i = kv_caches[i] if kv_caches is not None else None
             x, nc = Block(cfg, name=f"h_{i}")(x, pos_offset, cache_i, mask)
             new_caches.append(nc)
-        x = RMSNorm(cfg.norm_eps, name="ln_f")(x)
-        logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(x)
+        x = _make_norm(cfg, "ln_f")(x)
+        logits = nn.Dense(
+            cfg.padded_vocab, use_bias=cfg.lm_head_bias, name="lm_head"
+        )(x)
         if kv_caches is None:
             return logits
         return logits, new_caches

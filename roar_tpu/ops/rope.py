@@ -19,11 +19,18 @@ import numpy as np
 
 @functools.lru_cache(maxsize=16)
 def build_rope_cache(
-    seq_len: int, n_elem: int, base: float = 10000.0
+    seq_len: int,
+    n_elem: int,
+    base: float = 10000.0,
+    condense_ratio: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(cos, sin) caches of shape [seq_len, n_elem // 2]."""
+    """(cos, sin) caches of shape [seq_len, n_elem // 2].
+
+    condense_ratio > 1 implements position-interpolation context extension
+    (the reference Config's rope_condense_ratio; positions are divided so a
+    16k window reuses the 2k-trained rotation range)."""
     theta = 1.0 / (base ** (np.arange(0, n_elem, 2, dtype=np.float64) / n_elem))
-    seq = np.arange(seq_len, dtype=np.float64)
+    seq = np.arange(seq_len, dtype=np.float64) / condense_ratio
     angles = np.outer(seq, theta)  # [T, n_elem/2]
     return np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)
 

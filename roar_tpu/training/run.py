@@ -103,7 +103,13 @@ def _val_sets(val_dataset, model_cfg: Dict[str, Any]):
     else:
         sets = [("", val_dataset)]
     idx = int((model_cfg.get("validation_ds") or {}).get("val_dl_idx", 0) or 0)
-    return sets, min(max(idx, 0), len(sets) - 1)
+    if not 0 <= idx < len(sets):
+        raise ValueError(
+            f"val_dl_idx={idx} is out of range for {len(sets)} validation "
+            f"dataloader(s) — a typo'd index would silently change which "
+            f"dataloader defines the unprefixed val_* metrics"
+        )
+    return sets, idx
 
 
 def batch_iterator(
@@ -551,6 +557,16 @@ def train_gan(
                         totals[k] = totals.get(k, 0.0) + float(v)
                     n += 1
                 if not n:
+                    if si == val_dl_idx:
+                        from roar_tpu.utils.logging import get_logger
+
+                        get_logger().warning(
+                            f"validation dataloader '{ds_name or si}' "
+                            f"(val_dl_idx={val_dl_idx}) produced zero full "
+                            f"batches (drop_last with a small val set?) — the "
+                            f"headline val_* metrics are absent this epoch and "
+                            f"early-stopping monitors will not see their key"
+                        )
                     continue
                 if len(val_sets) > 1:
                     val_logged.update(
@@ -578,6 +594,7 @@ def run_test(
     params=None,
     buckets: Optional[BucketSpec] = None,
     log_dir: Optional[str] = None,
+    epoch: Optional[int] = None,
 ) -> Dict[str, float]:
     """Evaluate a trained task on one or several test sets — the analogue of
     the reference's `trainer.test()` path (ModelPT setup_test_data /
@@ -587,6 +604,11 @@ def run_test(
     `test_dataset` follows the same shapes as validation: one dataset, a
     list, or a dict name->dataset (build_validation_datasets output).
     Supply either a TrainState (`state`) or a bare `params` pytree.
+    `epoch` feeds models with epoch-scheduled loss terms (FastPitch aligner
+    binarization ramp, bin_loss warmup); when omitted it is derived from
+    the state's step count and `trainer.max_epochs`/`max_steps` so test
+    metrics use the END-of-training schedule weights (comparable to the
+    final val metrics), not epoch 0.
     Returns the aggregated metrics dict and appends one record to
     `<log_dir>/test_metrics.jsonl` when log_dir is given.
     """
@@ -602,6 +624,16 @@ def run_test(
         if state is None:
             raise ValueError("run_test needs state or params")
         params = state.params
+    if epoch is None:
+        max_epochs = int(trainer_cfg.get("max_epochs") or 0)
+        max_steps = int(trainer_cfg.get("max_steps") or 0)
+        step_count = int(jax.device_get(state.step)) if state is not None else 0
+        if max_epochs and max_steps and step_count:
+            epoch = min(max_epochs, round(step_count / max_steps * max_epochs))
+        elif max_epochs and step_count:
+            epoch = max_epochs  # trained state, epoch-count unknown: end-of-run
+        else:
+            epoch = 0
 
     # test_dl_idx mirrors val_dl_idx (ref resolve_test_dataloaders)
     if isinstance(test_dataset, dict):
@@ -611,11 +643,15 @@ def run_test(
     else:
         sets = [("", test_dataset)]
     idx = int((model_cfg.get("test_ds") or {}).get("test_dl_idx", 0) or 0)
-    idx = min(max(idx, 0), len(sets) - 1)
+    if not 0 <= idx < len(sets):
+        raise ValueError(
+            f"test_dl_idx={idx} is out of range for {len(sets)} test "
+            f"dataloader(s)"
+        )
 
     @jax.jit
-    def _metrics(params, batch):
-        _, m = model.loss_fn(params, batch, None, 0, deterministic=True)
+    def _metrics(params, batch, ep):
+        _, m = model.loss_fn(params, batch, None, ep, deterministic=True)
         return m
 
     out: Dict[str, float] = {}
@@ -632,11 +668,18 @@ def run_test(
             # shard_batch may duplicate trailing rows inside that batch's
             # own mean — a second-order effect bounded by 1/batch_size.)
             w = int(jax.tree_util.tree_leaves(batch)[0].shape[0])
-            m = _metrics(params, shard_batch(batch, mesh))
+            m = _metrics(params, shard_batch(batch, mesh), jnp.asarray(epoch, jnp.int32))
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v) * w
             n += w
         if not n:
+            if si == idx:
+                from roar_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    f"test dataloader '{ds_name or si}' (test_dl_idx={idx}) "
+                    f"produced zero batches — headline test_* metrics absent"
+                )
             continue
         if len(sets) > 1:
             out.update({f"{ds_name}test_{k}": v / n for k, v in totals.items()})

@@ -150,8 +150,11 @@ def make_train_step(
     does not move) — freeze/unfreeze transitions cost zero recompiles.
     """
     use_bf16 = precision in ("bf16", "bfloat16", "bf16-mixed")
+    # enabled defaults False to match the reference (modelPT.py on_train_start
+    # reads freeze_updates.get('enabled', False)) — a ported config carrying
+    # only `modules:` stays inert here exactly as it does upstream.
     freeze_modules = dict((freeze_updates or {}).get("modules") or {}) if (
-        freeze_updates and freeze_updates.get("enabled", True)
+        freeze_updates and freeze_updates.get("enabled", False)
     ) else {}
 
     def cast_in(params, batch):
@@ -196,6 +199,42 @@ def make_train_step(
         )
         if freeze_modules:
             updates = mask_frozen(updates)
+            # keep frozen params' optimizer slots (Adam mu/nu, SGD trace, ...)
+            # untouched during the window — the reference's requires_grad=False
+            # path never feeds the param to the optimizer at all, so its
+            # moments do not decay; emulate that by reverting every
+            # param-structured subtree of the opt state to its old value on
+            # frozen leaves (keep is a traced 0/1 scalar per leaf)
+            params_struct = jax.tree_util.tree_structure(grads)
+
+            def _is_param_tree(t):
+                try:
+                    return jax.tree_util.tree_structure(t) == params_struct
+                except Exception:
+                    return False
+
+            def _merge_param_tree(new_t, old_t):
+                new_leaves = treedef.flatten_up_to(new_t)
+                old_leaves = treedef.flatten_up_to(old_t)
+                return jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        n if k is None else jnp.where(k > 0.5, n, o)
+                        for n, o, k in zip(new_leaves, old_leaves, keeps)
+                    ],
+                )
+
+            new_flat, opt_td = jax.tree_util.tree_flatten(
+                new_opt_state, is_leaf=_is_param_tree
+            )
+            old_flat = opt_td.flatten_up_to(state.opt_state)
+            new_opt_state = jax.tree_util.tree_unflatten(
+                opt_td,
+                [
+                    _merge_param_tree(n, o) if _is_param_tree(n) else n
+                    for n, o in zip(new_flat, old_flat)
+                ],
+            )
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if ema_decay is not None and state.ema_params is not None:

@@ -26,6 +26,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import numpy as np
 
 
+def _mfu(step, dt, *step_args):
+    """MFU/roofline block for the compiled step (VERDICT r2 #1): FLOPs from
+    XLA cost_analysis, peak from the live chip's spec (utils/mfu.py)."""
+    try:
+        from roar_tpu.utils.mfu import compiled_costs, mfu_report
+
+        return mfu_report(compiled_costs(step, *step_args), dt)
+    except Exception as e:  # cost model absent on some backends
+        return {"mfu": None, "mfu_error": str(e)[:120]}
+
+
 def bench_hifigan(args):
     import jax
     import jax.numpy as jnp
@@ -66,6 +77,7 @@ def bench_hifigan(args):
         "unit": "ms/step",
         "batch": args.batch, "segment": seg, "precision": args.precision,
         "audio_sec_per_sec": round(args.batch * seg / 22050 / dt, 1),
+        **_mfu(step, dt, state, batch, key, 0),
     }))
 
 
@@ -120,6 +132,7 @@ def bench_jets(args, config_name: str):
         "unit": "ms/step",
         "batch": B, "text_len": T, "mel_len": M, "precision": args.precision,
         "utterances_per_sec": round(B / dt, 1),
+        **_mfu(step, dt, state, batch, key, 0),
     }))
 
 
@@ -165,6 +178,7 @@ def bench_gpt(args):
         "unit": "ms", "batch": args.batch, "seq": args.seq,
         "flash": bool(args.flash),
         "tokens_per_sec": round(args.batch * args.seq / dt, 1),
+        **_mfu(step, dt, params),
     }))
 
 
@@ -247,6 +261,7 @@ def main():
         "batch": B, "text_len": T, "mel_len": M,
         "precision": args.precision,
         "utterances_per_sec": round(B / dt, 1),
+        **_mfu(step, dt, state, batch, key, 0),
     }))
 
 

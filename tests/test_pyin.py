@@ -468,3 +468,83 @@ class TestOptimizedKernels:
         np.testing.assert_allclose(
             np.asarray(ours), ref, atol=2e-3, rtol=2e-3
         )
+
+
+# ---------------------------------------------------------------------------
+# Golden fixtures: ground truth from synthesis parameters, not from any pYIN
+# implementation (closes the self-referential-oracle loophole — a shared
+# misreading of the pYIN paper in ops/pyin.py AND ops/pyin_reference.py
+# would still fail here).  Fixtures + generator: tests/fixtures/
+# make_pyin_golden.py; tolerance table mirrored in DESIGN.md.
+# ---------------------------------------------------------------------------
+
+# clip -> (min voicing agreement, max voiced-F0 cents RMSE, max gross-error
+# rate at >100 cents).  Static-pitch clips get the tight 10-cent bound (bin
+# resolution is 10 cents); moving-pitch clips (sweep: 1600 cents/s, vibrato:
+# ±50 cents at 5.5 Hz) get 50 cents — the 46 ms analysis window integrates a
+# changing F0, so ~25-35 cents of "error" is window physics, not tracking.
+# Measured (r3): mixed 2.3 / octave_bait 2.0 / sweep 32.7 / vibrato 23.5
+# cents RMSE, 100% voicing agreement, zero gross errors — on BOTH paths.
+GOLDEN_TOLERANCES = {
+    "mixed": (0.95, 10.0, 0.02),
+    "octave_bait": (0.95, 10.0, 0.02),  # an octave flip would be 1200 cents
+    "sweep": (0.95, 50.0, 0.02),
+    "vibrato": (0.95, 50.0, 0.02),
+}
+
+
+def _score_golden(name, f0, voiced, z):
+    truth_f0, truth_v, sc = z[f"{name}_f0"], z[f"{name}_voiced"], z[f"{name}_score"]
+    T = len(truth_f0)
+    f0, voiced = np.asarray(f0)[:T], np.asarray(voiced)[:T]
+    agree = float((voiced[sc] == truth_v[sc]).mean())
+    both = sc & truth_v & voiced & (f0 > 0)
+    assert both.any(), f"{name}: no scoreable voiced frames"
+    cents = 1200.0 * np.log2(f0[both] / truth_f0[both])
+    rmse = float(np.sqrt(np.mean(cents**2)))
+    gross = float((np.abs(cents) > 100.0).mean())
+    min_agree, max_rmse, max_gross = GOLDEN_TOLERANCES[name]
+    assert agree >= min_agree, f"{name}: voicing agreement {agree:.3f} < {min_agree}"
+    assert rmse <= max_rmse, f"{name}: voiced-F0 RMSE {rmse:.1f} cents > {max_rmse}"
+    assert gross <= max_gross, f"{name}: gross-error rate {gross:.3f} > {max_gross}"
+
+
+def test_pyin_golden_fixtures():
+    """Device pyin vs committed golden fixtures (production 22.05 kHz config,
+    frame_length 2048 / hop 512 — the PitchFeaturizer shape, reference
+    features.py:341-397). One batched call scores all four clips."""
+    from pathlib import Path
+
+    z = np.load(Path(__file__).parent / "fixtures" / "pyin_golden.npz")
+    cfg = PyinConfig(
+        sample_rate=int(z["sample_rate"]), frame_length=int(z["frame_length"])
+    )
+    names = [str(n) for n in z["names"]]
+    maxlen = max(len(z[f"{n}_audio"]) for n in names)
+    pad = int(np.ceil(maxlen / 4096)) * 4096
+    buf = np.zeros((len(names), pad), np.float32)
+    lens = []
+    for i, n in enumerate(names):
+        a = z[f"{n}_audio"]
+        buf[i, : len(a)] = a
+        lens.append(len(a))
+    f0, voiced, _ = pyin(jnp.asarray(buf), jnp.asarray(lens), cfg)
+    for i, n in enumerate(names):
+        _score_golden(n, f0[i], voiced[i], z)
+
+
+def test_pyin_cpu_reference_golden_fixtures():
+    """The numpy CPU reference must clear the same synthesis-truth bars —
+    it is the baseline bench.py times against, so its correctness needs
+    evidence independent of the device path."""
+    from pathlib import Path
+
+    from roar_tpu.ops.pyin_reference import pyin_cpu
+
+    z = np.load(Path(__file__).parent / "fixtures" / "pyin_golden.npz")
+    cfg = PyinConfig(
+        sample_rate=int(z["sample_rate"]), frame_length=int(z["frame_length"])
+    )
+    for n in [str(x) for x in z["names"]]:
+        f0, voiced, _ = pyin_cpu(z[f"{n}_audio"], cfg)
+        _score_golden(n, f0, voiced, z)

@@ -225,13 +225,13 @@ def test_multi_validation_helpers(tmp_path):
             {"manifest_filepath": ["dup.json", "dup.json"]}, builder
         )
 
-    # _val_sets normalization + val_dl_idx clamp
+    # _val_sets normalization + out-of-range val_dl_idx rejection
     sets, idx = _val_sets({"a_": 1, "b_": 2}, {"validation_ds": {"val_dl_idx": 1}})
     assert sets == [("a_", 1), ("b_", 2)] and idx == 1
     sets, idx = _val_sets([10, 20], {})
     assert sets == [("0_", 10), ("1_", 20)] and idx == 0
-    sets, idx = _val_sets(5, {"validation_ds": {"val_dl_idx": 3}})
-    assert sets == [("", 5)] and idx == 0
+    with pytest.raises(ValueError, match="val_dl_idx=3 is out of range"):
+        _val_sets(5, {"validation_ds": {"val_dl_idx": 3}})
     assert _val_sets(None, {}) == ([], 0)
 
 

@@ -552,7 +552,8 @@ def test_dynamic_freezing_schedules():
 
     # unknown module name errors like the reference's getattr
     bad = Trainer(loss_fn=loss_fn, optimizer=opt,
-                  freeze_updates={"modules": {"nonexistent": 1}})
+                  freeze_updates={"enabled": True,
+                                  "modules": {"nonexistent": 1}})
     bstate = bad.init_state(params)
     with pytest.raises(ValueError, match="matches no parameter path"):
         bad.run_epoch(bstate, [batch])
@@ -573,7 +574,7 @@ def test_dynamic_freezing_counts_optimizer_updates_and_specificity():
     # accumulate 2 micro-batches per update; freeze enc for 1 UPDATE
     trainer = Trainer(
         loss_fn=loss_fn, optimizer=optax.sgd(0.1), accumulate_grad_batches=2,
-        freeze_updates={"modules": {"enc": 1}},
+        freeze_updates={"enabled": True, "modules": {"enc": 1}},
     )
     params = {"enc": {"w": jnp.asarray(0.0)}, "enc_extra": {"w": jnp.asarray(0.0)}}
     state = trainer.init_state(params)
@@ -595,10 +596,60 @@ def test_dynamic_freezing_counts_optimizer_updates_and_specificity():
 
     step = make_train_step(
         loss2, optax.sgd(0.1),
-        freeze_updates={"modules": {"m": -1, "m/a": 0}},  # m/a never frozen (0 updates)
+        freeze_updates={"enabled": True,
+                        "modules": {"m": -1, "m/a": 0}},  # m/a never frozen (0 updates)
     )
     p2 = {"m": {"a": {"w": jnp.asarray(0.0)}, "b": {"w": jnp.asarray(0.0)}}}
     st = create_train_state(p2, optax.sgd(0.1))
     st, _ = step(st, batch, jax.random.PRNGKey(0), 0)
     assert float(st.params["m"]["a"]["w"]) != 0.0  # specific spec wins
     assert float(st.params["m"]["b"]["w"]) == 0.0  # outer -1 freeze holds
+
+
+def test_frozen_params_keep_optimizer_moments():
+    """During a freeze window Adam's mu/nu for the frozen module must not
+    decay toward zero (the reference's requires_grad=False path never feeds
+    the param to the optimizer, keeping moments intact for post-unfreeze
+    dynamics)."""
+    import optax
+
+    from roar_tpu.training.trainer import make_train_step, create_train_state
+
+    def loss_fn(p, b, r, e):
+        loss = (p["enc"]["w"] - 3.0) ** 2 + (p["dec"]["w"] - 3.0) ** 2
+        return loss, {"loss": loss}
+
+    opt = optax.adam(0.1)
+    # warm up 2 unfrozen steps to build nonzero moments, then freeze enc
+    # for updates 3..4 ([start, end] window), then unfreeze
+    step = make_train_step(
+        loss_fn, opt, freeze_updates={"enabled": True, "modules": {"enc": [3, 4]}}
+    )
+    params = {"enc": {"w": jnp.asarray(0.0)}, "dec": {"w": jnp.asarray(0.0)}}
+    st = create_train_state(params, opt)
+    batch = {"x": np.zeros((1,), np.float32)}
+    rng = jax.random.PRNGKey(0)
+    for _ in range(2):  # updates 1-2: both params train
+        st, _ = step(st, batch, rng, 0)
+
+    def adam_moments(opt_state, module):
+        adam_states = [
+            s for s in jax.tree_util.tree_leaves(
+                opt_state, is_leaf=lambda x: hasattr(x, "mu")
+            ) if hasattr(s, "mu")
+        ]
+        s = adam_states[0]
+        return float(s.mu[module]["w"]), float(s.nu[module]["w"])
+
+    mu_before, nu_before = adam_moments(st.opt_state, "enc")
+    assert mu_before != 0.0 and nu_before != 0.0
+    w_before = float(st.params["enc"]["w"])
+    for _ in range(2):  # updates 3-4: enc frozen
+        st, _ = step(st, batch, rng, 0)
+    mu_frozen, nu_frozen = adam_moments(st.opt_state, "enc")
+    assert float(st.params["enc"]["w"]) == w_before  # param provably still
+    assert mu_frozen == mu_before and nu_frozen == nu_before  # moments intact
+    # dec trained throughout: its moments moved
+    mu_dec, _ = adam_moments(st.opt_state, "dec")
+    st2, _ = step(st, batch, rng, 0)  # update 5: enc unfreezes
+    assert float(st2.params["enc"]["w"]) != w_before
