@@ -31,6 +31,15 @@ def initialize_distributed(
         or os.environ.get("COORDINATOR_ADDRESS")
     )
     if explicit:
+        # multi-process over the CPU backend (tests, CPU clusters) needs a
+        # cross-process collectives transport; gloo is XLA:CPU's built-in.
+        # Must be set before backend init — harmless no-op on TPU where the
+        # platform isn't cpu.
+        try:
+            if "cpu" in (os.environ.get("JAX_PLATFORMS") or jax.config.jax_platforms or ""):
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # older jax without the option
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("COORDINATOR_ADDRESS"),
@@ -54,17 +63,30 @@ def initialize_distributed(
 def gather_objects(partial: List[Any], main_rank: Optional[int] = 0) -> Optional[List[Any]]:
     """All-gather a list of picklable objects across hosts
     (utils/distributed.py:44+ analogue).  Returns the concatenated list on
-    every host (or only on `main_rank` if set; others get None)."""
+    every host (or only on `main_rank` if set; others get None).
+
+    Objects travel as pickled uint8 buffers: process_allgather only moves
+    arrays (jax 0.9 rejects strings/objects outright), so each host pickles
+    its list, pads to the allgathered max length, and unpickles the rest —
+    the torch.distributed.all_gather_object trick, XLA-transported."""
+    import pickle
+
     import jax
+    import numpy as np
 
     if jax.process_count() == 1:
         return list(partial)
     from jax.experimental import multihost_utils
 
-    all_lists = multihost_utils.process_allgather(partial, tiled=False)
+    payload = pickle.dumps(list(partial))
+    n = np.asarray([len(payload)], np.int64)
+    sizes = multihost_utils.process_allgather(n, tiled=False).reshape(-1)
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    bufs = multihost_utils.process_allgather(buf, tiled=False)
     out: List[Any] = []
-    for host_list in all_lists:
-        out.extend(list(host_list))
+    for i in range(jax.process_count()):
+        out.extend(pickle.loads(bytes(np.asarray(bufs[i])[: int(sizes[i])])))
     if main_rank is not None and jax.process_index() != main_rank:
         return None
     return out
