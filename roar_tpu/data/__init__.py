@@ -35,6 +35,12 @@ from roar_tpu.data.asr_datasets import (  # noqa: F401
     AudioToTargetDataset,
     CharParser,
 )
+from roar_tpu.data.asr_builders import (  # noqa: F401
+    convert_to_config_list,
+    get_audio_to_label_dataset_from_config,
+    get_audio_to_text_bpe_dataset_from_config,
+    get_audio_to_text_char_dataset_from_config,
+)
 from roar_tpu.data import audio_utils, speaker_utils  # noqa: F401
 from roar_tpu.data import cleaners  # noqa: F401
 from roar_tpu.data.parsers import ENCharParser, RUCharParser, make_parser  # noqa: F401

@@ -653,3 +653,61 @@ def test_frozen_params_keep_optimizer_moments():
     mu_dec, _ = adam_moments(st.opt_state, "dec")
     st2, _ = step(st, batch, rng, 0)  # update 5: enc unfreezes
     assert float(st2.params["enc"]["w"]) != w_before
+
+
+@pytest.mark.slow
+def test_tensor_parallel_numerical_equivalence_realistic_width():
+    """Same seed, same batch: a d=384 6-layer FastPitch train step produces
+    the same loss and post-step parameters on mesh(data=8, model=1) and
+    mesh(data=4, model=2).  TP here is GSPMD sharding rules (parallel/tp.py
+    FFT_TP_RULES) — a transposed rule would not crash, it would silently
+    change the math; this pins the numerics at realistic width
+    (round-2 verdict item 6).  SGD keeps the comparison on the raw gradient."""
+    from roar_tpu.parallel import FFT_TP_RULES
+
+    cfg = small_model_cfg()
+    d = 384
+    fft = {"n_layer": 3, "n_head": 2, "d_model": d, "d_head": 192,
+           "d_inner": 1536}
+    cfg["symbols_embedding_dim"] = d
+    cfg["input_fft"] = dict(fft)
+    cfg["output_fft"] = dict(fft)
+    cfg["alignment_module"] = {"n_text_channels": d, "n_att_channels": 32}
+    cfg["duration_predictor"] = {"input_size": d, "filter_size": 64}
+    cfg["pitch_predictor"] = {"input_size": d, "filter_size": 64}
+    model = FastPitchModel(cfg)
+
+    B, T, M, hop = 8, 32, 96, 256
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": np.asarray(rng.integers(1, 40, (B, T)), np.int32),
+        "text_len": np.full((B,), T, np.int32),
+        "audio": np.asarray(rng.standard_normal((B, M * hop)) * 0.1, np.float32),
+        "audio_len": np.full((B,), M * hop, np.int32),
+        "pitch": np.asarray(rng.standard_normal((B, M)), np.float32),
+        "align_prior_matrix": np.ones((B, M, T), np.float32) / T,
+    }
+    params0 = jax.device_get(model.init_params(jax.random.PRNGKey(0), batch))
+
+    results = []
+    for dp, tp in [(8, 1), (4, 2)]:
+        mesh = make_mesh(data=dp, model=tp)
+        opt = build_optimizer({"name": "sgd", "lr": 1e-2})
+        trainer = Trainer(
+            loss_fn=lambda p, b, r, e: model.loss_fn(p, b, r, e),
+            optimizer=opt, mesh=mesh, tp_rules=FFT_TP_RULES,
+        )
+        state = trainer.init_state(jax.tree_util.tree_map(np.copy, params0))
+        state, metrics = trainer.run_epoch(state, [batch], epoch=0)
+        results.append((float(metrics["loss"]), jax.device_get(state.params)))
+
+    (loss_dp, p_dp), (loss_tp, p_tp) = results
+    assert loss_dp == pytest.approx(loss_tp, rel=1e-5), (loss_dp, loss_tp)
+    flat_dp = jax.tree_util.tree_leaves_with_path(p_dp)
+    flat_tp = jax.tree_util.tree_leaves(p_tp)
+    assert len(flat_dp) == len(flat_tp)
+    for (kp, a), b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
