@@ -59,9 +59,65 @@ class PairedAudioDataset:
         }
 
 
+class MultiChannelPairedAudioDataset(PairedAudioDataset):
+    """(multi-mic noisy [C, S], clean [S]) pairs for the beamforming recipe
+    (reference beamforming.yaml train_ds: multi-channel input_key files,
+    target_channel_selector)."""
+
+    def __init__(self, manifest_filepath, sample_rate, num_channels=2,
+                 target_channel=0, segment_samples=32768, seed=0):
+        super().__init__(manifest_filepath, sample_rate, segment_samples, seed)
+        self.num_channels = num_channels
+        self.target_channel = target_channel
+
+    def __getitem__(self, idx):
+        e = self.entries[idx]
+        chans = [
+            AudioSegment.from_file(
+                e["audio_filepath"], target_sr=self.sample_rate,
+                channel_selector=c,
+            ).samples
+            for c in range(self.num_channels)
+        ]
+        clean = AudioSegment.from_file(
+            e["target_filepath"], target_sr=self.sample_rate,
+            channel_selector=self.target_channel,
+        ).samples
+        n = min(min(len(c) for c in chans), len(clean))
+        if n >= self.segment:
+            s = int(self._rng.integers(0, n - self.segment + 1))
+            noisy = np.stack([c[s : s + self.segment] for c in chans])
+            clean = clean[s : s + self.segment]
+            n = self.segment
+        else:
+            noisy = np.stack(
+                [np.pad(c[:n], (0, self.segment - n)) for c in chans]
+            )
+            clean = np.pad(clean[:n], (0, self.segment - n))
+        return {
+            "input_signal": noisy.astype(np.float32),
+            "target_signal": clean.astype(np.float32),
+            "input_length": np.int32(n),
+        }
+
+
 @config_runner(config_path=str(Path(__file__).resolve().parents[2] / "configs"),
                config_name="speech_enhancement")
 def main(cfg):
+    if cfg["model"].get("mask_processor") == "beamformer":
+        # multi-channel MVDR recipe (reference beamforming.yaml — its
+        # MaskBasedBeamformer target is absent upstream; working here)
+        from roar_tpu.models.enhancement import MaskBasedBeamformerModel
+
+        model = MaskBasedBeamformerModel(cfg["model"])
+        ds = MultiChannelPairedAudioDataset(
+            cfg["train_dataset"],
+            sample_rate=cfg["model"].get("sample_rate", 16000),
+            num_channels=cfg["model"].get("num_channels", 2),
+            target_channel=cfg["model"].get("target_channel", 0),
+            segment_samples=cfg["model"].get("segment_samples", 32768),
+        )
+        return train_supervised(cfg, model, ds, None)
     model = EncMaskDecEnhancementModel(cfg["model"])
     ds = PairedAudioDataset(
         cfg["train_dataset"],

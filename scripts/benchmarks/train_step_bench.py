@@ -182,10 +182,62 @@ def bench_gpt(args):
     }))
 
 
+def bench_gpt_decode(args):
+    """Cached single-token decode step (the generate() inner loop) at the
+    tiny-llama shape: measures ms/token and the HBM roofline fraction.
+
+    Decode reads the whole KV cache + all weights to produce ONE token per
+    row — arithmetic intensity is O(batch) FLOPs/byte, far below the v5e
+    ridge (~240), so the step is HBM-bound and a flash kernel (which saves
+    softmax-intermediate traffic that only matters when q_len is large) has
+    nothing to fuse at q_len=1.  This bench quantifies that: compare
+    hbm_frac (near the achievable fraction of peak) with mfu (tiny).
+    VERDICT r2 #8 evidence; numbers land in DESIGN.md 7c."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from roar_tpu.models.gpt import GPT, GPTConfig, init_kv_caches
+
+    cfg = GPTConfig(
+        vocab_size=32000, block_size=max(args.seq, 128), n_layer=22,
+        n_head=32, n_embd=2048, n_query_groups=4, intermediate_size=5632,
+        rotary_percentage=1.0,
+    )  # tiny-llama-1.1b shape at a --seq-token cache
+    model = GPT(cfg)
+    rng = np.random.default_rng(0)
+    B = args.batch
+    tok = jnp.asarray(rng.integers(0, 32000, (B, 1)), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tok)
+    caches = init_kv_caches(cfg, B)
+
+    @jax.jit
+    def decode(params, tok, pos, caches):
+        logits, caches = model.apply(params, tok, pos, caches)
+        return logits, caches
+
+    pos = jnp.asarray(cfg.block_size // 2, jnp.int32)  # mid-cache decode
+    logits, caches = decode(params, tok, pos, caches)
+    float(jnp.sum(logits))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        logits, caches = decode(params, tok, pos, caches)
+    float(jnp.sum(logits))
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": "gpt_decode_step_ms", "value": round(dt * 1000, 3),
+        "unit": "ms/token", "batch": B, "kv_len": cfg.block_size,
+        "tokens_per_sec": round(B / dt, 1),
+        **_mfu(decode, dt, params, tok, pos, caches),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fastpitch",
-                   choices=["fastpitch", "hifigan", "jets", "jets_conformer", "gpt"])
+                   choices=["fastpitch", "hifigan", "jets", "jets_conformer",
+                            "gpt", "gpt_decode"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
@@ -196,7 +248,9 @@ def main():
     args = p.parse_args()
 
     if args.batch is None:
-        args.batch = 2 if args.model == "gpt" else 32
+        args.batch = 2 if args.model in ("gpt", "gpt_decode") else 32
+    if args.model == "gpt_decode":
+        return bench_gpt_decode(args)
     if args.model == "gpt":
         return bench_gpt(args)
     if args.model == "hifigan":
