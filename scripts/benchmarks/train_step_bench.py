@@ -26,6 +26,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the GAN-step graphs take minutes to
+    compile on the tunneled chip; cached, re-runs start in seconds (same
+    helper the CLIs use, config/cli.py:24)."""
+    from roar_tpu.config.cli import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+
 def _mfu(step, dt, *step_args):
     """MFU/roofline block for the compiled step (VERDICT r2 #1): FLOPs from
     XLA cost_analysis, peak from the live chip's spec (utils/mfu.py)."""
@@ -246,6 +255,7 @@ def main():
     p.add_argument("--precision", default="none", choices=["none", "bf16"])
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
+    _enable_compile_cache()
 
     if args.batch is None:
         args.batch = 2 if args.model in ("gpt", "gpt_decode") else 32
