@@ -29,7 +29,12 @@ from roar_tpu.models.hifigan import (
     MultiScaleDiscriminator,
 )
 from roar_tpu.ops.spectrogram import log_mel_spectrogram
-from roar_tpu.training.gan import GANTrainState, create_gan_state, make_gan_train_step
+from roar_tpu.training.gan import (
+    GANTrainState,
+    create_gan_state,
+    make_gan_train_step,
+    make_shared_forward_gan_step,
+)
 
 
 def generator_from_config(cfg: Dict[str, Any], initial_input_size: int = 80) -> Generator:
@@ -120,10 +125,14 @@ class HifiGanModel:
         return mpd_out, msd_out, new_stats
 
     # ------------------------------------------------------------------
-    def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
+    def forward_split(self, g_params, batch, rng, epoch):
+        """(diff_out, aux) for the shared-forward GAN step: the generator
+        forward (and its input mel) runs once per step."""
+        return {"fake": self.generator.apply(g_params, self._input_mel(batch))}, {}
+
+    def d_loss_from_out(self, d_params, d_stats, diff_out, aux, batch):
         audio = batch["audio"]
-        mel = self._input_mel(batch)
-        fake = jax.lax.stop_gradient(self.generator.apply(g_params, mel))
+        fake = diff_out["fake"]
         mpd_out, msd_out, new_stats = self._disc_all(
             d_params, d_stats, audio, fake, update_stats=True
         )
@@ -134,11 +143,19 @@ class HifiGanModel:
         loss = loss_mpd + loss_msd
         return loss, ({"d_loss_mpd": loss_mpd, "d_loss_msd": loss_msd}, new_stats)
 
+    def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
+        mel = self._input_mel(batch)
+        fake = jax.lax.stop_gradient(self.generator.apply(g_params, mel))
+        return self.d_loss_from_out(d_params, d_stats, {"fake": fake}, {}, batch)
+
     def g_loss_fn(self, g_params, d_params, d_stats, batch, rng, epoch):
+        fake = self.generator.apply(g_params, self._input_mel(batch))
+        return self.g_loss_from_out({"fake": fake}, {}, d_params, d_stats, batch, 0)
+
+    def g_loss_from_out(self, diff_out, aux, d_params, d_stats, batch, epoch):
         audio = batch["audio"]
         lens = batch["audio_len"]
-        mel_in = self._input_mel(batch)
-        fake = self.generator.apply(g_params, mel_in)
+        fake = diff_out["fake"]
         # L1 mel is always computed against the GROUND-TRUTH audio's mel
         # (models/hifigan.py:211-232), even when the input is a GTA mel.
         mel_gt, _ = self._mel(audio, lens)
@@ -162,7 +179,17 @@ class HifiGanModel:
             "g_adv_loss": l_adv_mpd + l_adv_msd,
         }
 
-    def make_train_step(self, g_opt, d_opt, ema_decay=None, precision=None):
+    def make_train_step(
+        self, g_opt, d_opt, ema_decay=None, precision=None, shared_forward=True
+    ):
+        """shared_forward=True (default) runs the generator forward once per
+        step via jax.vjp; the generic two-forward step is kept for
+        equivalence testing."""
+        if shared_forward:
+            return make_shared_forward_gan_step(
+                self.forward_split, self.d_loss_from_out, self.g_loss_from_out,
+                g_opt, d_opt, ema_decay, precision=precision,
+            )
         return make_gan_train_step(
             self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay,
             precision=precision,

@@ -42,7 +42,12 @@ from roar_tpu.models.jets import JETSModule
 from roar_tpu.ops.forward_sum import bin_loss, forward_sum_loss
 from roar_tpu.ops.lengths import slice_segments
 from roar_tpu.ops.spectrogram import log_mel_spectrogram
-from roar_tpu.training.gan import GANTrainState, create_gan_state, make_gan_train_step
+from roar_tpu.training.gan import (
+    GANTrainState,
+    create_gan_state,
+    make_gan_train_step,
+    make_shared_forward_gan_step,
+)
 
 
 class JETSModel:
@@ -179,8 +184,23 @@ class JETSModel:
         return mpd_out, msd_out, new_stats
 
     # ------------------------------------------------------------------
-    def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
-        out = jax.lax.stop_gradient(self._forward(g_params, batch, rng))
+    @staticmethod
+    def _split_out(out):
+        """Partition forward outputs into (differentiable floats, aux) for
+        the shared-forward GAN step (training/gan.py)."""
+        diff, aux = {}, {}
+        for k, v in out.items():
+            if v is not None and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating):
+                diff[k] = v
+            else:
+                aux[k] = v
+        return diff, aux
+
+    def forward_split(self, g_params, batch, rng, epoch):
+        return self._split_out(self._forward(g_params, batch, rng))
+
+    def d_loss_from_out(self, d_params, d_stats, diff_out, aux, batch):
+        out = {**diff_out, **aux}
         wav_pred = out["wav"]
         audio_seg = self._gt_segments(batch, out["z_start_idxs"])
         mpd_out, msd_out, new_stats = self._disc_all(
@@ -191,8 +211,17 @@ class JETSModel:
         loss = loss_mpd + loss_msd
         return loss, ({"d_loss_mpd": loss_mpd, "d_loss_msd": loss_msd}, new_stats)
 
+    def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
+        out = jax.lax.stop_gradient(self._forward(g_params, batch, rng))
+        diff, aux = self._split_out(out)
+        return self.d_loss_from_out(d_params, d_stats, diff, aux, batch)
+
     def g_loss_fn(self, g_params, d_params, d_stats, batch, rng, epoch):
-        out = self._forward(g_params, batch, rng)
+        diff, aux = self._split_out(self._forward(g_params, batch, rng))
+        return self.g_loss_from_out(diff, aux, d_params, d_stats, batch, epoch)
+
+    def g_loss_from_out(self, diff_out, aux, d_params, d_stats, batch, epoch):
+        out = {**diff_out, **aux}
         wav_pred = out["wav"]
         audio_seg = self._gt_segments(batch, out["z_start_idxs"])
         seg_len = jnp.full(
@@ -280,7 +309,17 @@ class JETSModel:
         g_params, d_params, d_stats = self.init_params(rng, batch)
         return create_gan_state(g_params, d_params, g_opt, d_opt, d_stats, ema_decay)
 
-    def make_train_step(self, g_opt, d_opt, ema_decay=None, precision=None):
+    def make_train_step(
+        self, g_opt, d_opt, ema_decay=None, precision=None, shared_forward=True
+    ):
+        """shared_forward=True (default) runs the expensive JETS generator
+        graph once per step via jax.vjp instead of once per loss; the
+        generic two-forward step is kept for equivalence testing."""
+        if shared_forward:
+            return make_shared_forward_gan_step(
+                self.forward_split, self.d_loss_from_out, self.g_loss_from_out,
+                g_opt, d_opt, ema_decay, precision=precision,
+            )
         return make_gan_train_step(
             self.d_loss_fn, self.g_loss_fn, g_opt, d_opt, ema_decay,
             precision=precision,

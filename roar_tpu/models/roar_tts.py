@@ -98,8 +98,8 @@ class RoarTTSModel(JETSModel):
         d_params = {"params": {"mpd": mpd_params["params"], "mrd": mrd_params["params"]}}
         return g_params, d_params, {}
 
-    def g_loss_fn(self, g_params, d_params, d_stats, batch, rng, epoch):
-        out = self._forward(g_params, batch, rng)
+    def g_loss_from_out(self, diff_out, aux, d_params, d_stats, batch, epoch):
+        out = {**diff_out, **aux}
         wav_pred = out["wav"]
         audio_seg = self._gt_segments(batch, out["z_start_idxs"])
 
@@ -142,8 +142,8 @@ class RoarTTSModel(JETSModel):
         metrics["g_adv_loss"] = l_adv_mpd + l_adv_mrd
         return loss, metrics
 
-    def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
-        out = jax.lax.stop_gradient(self._forward(g_params, batch, rng))
+    def d_loss_from_out(self, d_params, d_stats, diff_out, aux, batch):
+        out = {**diff_out, **aux}
         wav_pred = out["wav"]
         audio_seg = self._gt_segments(batch, out["z_start_idxs"])
         mpd_out, mrd_out, _ = self._disc_all(d_params, d_stats, audio_seg, wav_pred, True)

@@ -383,7 +383,10 @@ class FFTransformerEncoder(nn.Module):
 
     def embed(self, tokens):
         mask = (tokens != self.padding_idx)[..., None]
-        emb = self.word_emb(tokens) * mask.astype(jnp.float32)
+        emb = self.word_emb(tokens)
+        # mask in the embedding's own dtype: an fp32 mask here would promote
+        # the whole bf16 encoder stack back to fp32 (mixed-precision leak)
+        emb = emb * mask.astype(emb.dtype)
         return emb, mask
 
     def __call__(self, tokens, conditioning=None, deterministic=True):

@@ -137,3 +137,100 @@ def make_gan_train_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_shared_forward_gan_step(
+    forward_fn: Callable,
+    d_loss_fn: Callable,
+    g_loss_fn: Callable,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
+    precision: Optional[str] = None,
+):
+    """Alternating GAN step that runs the generator forward ONCE per step.
+
+    `make_gan_train_step` evaluates the generator graph twice — once
+    stop-gradiented inside the D loss and once differentiated inside the G
+    loss (the functional transcription of the reference's two manual
+    backward passes, models/jets.py:616-694).  XLA does not CSE the primal
+    across the two independent grad computations, so for JETS the full
+    FastPitch graph + vocoder forward is paid twice.  Here the forward runs
+    once under `jax.vjp`: its primal output feeds the D update through
+    `stop_gradient`, and the saved VJP closure pulls the G-loss cotangents
+    back to the generator params.  Same math, one forward.
+
+    Signatures (note: no g_params/rng in the loss fns — the forward is
+    already taken):
+
+    forward_fn(g_params, batch, rng, epoch) -> (diff_out, aux)
+        diff_out: float pytree, the differentiable generator outputs
+        aux: non-differentiable extras (int lengths, segment indices)
+    d_loss_fn(d_params, d_stats, diff_out, aux, batch)
+        -> (loss, (metrics, new_d_stats))
+    g_loss_fn(diff_out, aux, d_params, d_stats, batch, epoch)
+        -> (loss, metrics)
+    """
+    from roar_tpu.training.trainer import cast_floating
+
+    use_bf16 = precision in ("bf16", "bfloat16", "bf16-mixed")
+
+    def _cast(tree):
+        return cast_floating(tree, jnp.bfloat16) if use_bf16 else tree
+
+    def step_fn(state: GANTrainState, batch, rng, epoch):
+        batch = _cast(batch)
+
+        # ---- one generator forward, residuals saved for the G update ----
+        def fwd(gp):
+            return forward_fn(_cast(gp), batch, rng, epoch)
+
+        diff_out, f_vjp, aux = jax.vjp(fwd, state.g_params, has_aux=True)
+
+        # ---- discriminator update (stop-gradient generator outputs) ----
+        sg_out = jax.lax.stop_gradient(diff_out)
+
+        def d_compute(d_params, d_stats):
+            return d_loss_fn(_cast(d_params), d_stats, sg_out, aux, batch)
+
+        (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
+            d_compute, has_aux=True
+        )(state.d_params, state.d_stats)
+        new_stats = jax.tree_util.tree_map(
+            lambda s, old: s.astype(old.dtype), new_stats, state.d_stats
+        )
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- generator update (against updated discriminator) ----
+        def g_compute(do):
+            return g_loss_fn(do, aux, _cast(d_params), new_stats, batch, epoch)
+
+        (g_loss, g_metrics), out_bar = jax.value_and_grad(g_compute, has_aux=True)(
+            diff_out
+        )
+        (g_grads,) = f_vjp(out_bar)
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        g_ema = state.g_ema
+        if ema_decay is not None and state.g_ema is not None:
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), state.g_ema, g_params
+            )
+
+        metrics = {"d_loss": d_loss, "g_loss": g_loss}
+        metrics.update(d_metrics)
+        metrics.update(g_metrics)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            d_stats=new_stats,
+            g_ema=g_ema,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))

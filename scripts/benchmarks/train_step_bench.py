@@ -70,7 +70,8 @@ def bench_hifigan(args):
     d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
     state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
     prec = None if args.precision == "none" else args.precision
-    step = model.make_train_step(g_opt, d_opt, precision=prec)
+    step = model.make_train_step(g_opt, d_opt, precision=prec,
+                                 shared_forward=not args.two_forward)
 
     key = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, key, 0)
@@ -85,6 +86,7 @@ def bench_hifigan(args):
         "value": round(dt * 1e3, 2),
         "unit": "ms/step",
         "batch": args.batch, "segment": seg, "precision": args.precision,
+        "shared_forward": not args.two_forward,
         "audio_sec_per_sec": round(args.batch * seg / 22050 / dt, 1),
         **_mfu(step, dt, state, batch, key, 0),
     }))
@@ -125,7 +127,8 @@ def bench_jets(args, config_name: str):
     d_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
     state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
     prec = None if args.precision == "none" else args.precision
-    step = model.make_train_step(g_opt, d_opt, precision=prec)
+    step = model.make_train_step(g_opt, d_opt, precision=prec,
+                                 shared_forward=not args.two_forward)
 
     key = jax.random.PRNGKey(1)
     state, metrics = step(state, batch, key, 0)
@@ -140,6 +143,7 @@ def bench_jets(args, config_name: str):
         "value": round(dt * 1e3, 2),
         "unit": "ms/step",
         "batch": B, "text_len": T, "mel_len": M, "precision": args.precision,
+        "shared_forward": not args.two_forward,
         "utterances_per_sec": round(B / dt, 1),
         **_mfu(step, dt, state, batch, key, 0),
     }))
@@ -253,6 +257,9 @@ def main():
     p.add_argument("--seq", type=int, default=4096, help="gpt: tokens per row")
     p.add_argument("--flash", action="store_true", help="gpt: use_flash=True")
     p.add_argument("--precision", default="none", choices=["none", "bf16"])
+    p.add_argument("--two-forward", action="store_true",
+                   help="GAN models: use the generic two-forward step instead "
+                        "of the shared-forward vjp step (before/after datum)")
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
     _enable_compile_cache()

@@ -78,6 +78,36 @@ def test_hifigan_gan_step_runs_and_improves(hifigan_setup):
     assert mels[-1] < mels[0], mels
 
 
+def test_hifigan_shared_forward_step_matches_generic(hifigan_setup):
+    """The single-forward vjp step must match the generic two-forward step
+    exactly (same losses, same post-step params, same spectral-norm stats)."""
+    model, batch = hifigan_setup
+    # SGD, not Adam — Adam turns fp-noise-scale gradient differences into
+    # ±lr-scale update differences (see test_jets.py shared-forward test).
+    g_opt = build_optimizer({"name": "sgd", "lr": 1e-3})
+    d_opt = build_optimizer({"name": "sgd", "lr": 1e-3})
+
+    results = {}
+    for shared in (False, True):
+        state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+        step = model.make_train_step(g_opt, d_opt, shared_forward=shared)
+        rng = jax.random.PRNGKey(1)
+        for i in range(2):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub, 0)
+        results[shared] = (jax.device_get(state.g_params),
+                           jax.device_get(state.d_params),
+                           jax.device_get(state.d_stats),
+                           {k: float(v) for k, v in metrics.items()})
+
+    (gp0, dp0, ds0, m0), (gp1, dp1, ds1, m1) = results[False], results[True]
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-4, atol=1e-6, err_msg=k)
+    for tree0, tree1 in ((gp0, gp1), (dp0, dp1), (ds0, ds1)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree0), jax.tree_util.tree_leaves(tree1)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_hifigan_gan_step_bf16(hifigan_setup):
     """precision='bf16' computes with bfloat16 casts while keeping fp32
     master weights, optimizer state, and spectral-norm stats."""

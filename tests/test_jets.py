@@ -93,6 +93,39 @@ def test_jets_gan_step(jets_setup):
     assert int(jax.device_get(state.step)) == 3
 
 
+def test_jets_shared_forward_step_matches_generic(jets_setup):
+    """The single-forward vjp step (training/gan.py
+    make_shared_forward_gan_step) must be numerically identical to the
+    generic two-forward step: same losses and same post-step params."""
+    model, batch = jets_setup
+    # SGD, not Adam: Adam normalizes each update to ~lr regardless of gradient
+    # magnitude, so fp-reassociation noise on near-zero gradients flips update
+    # signs and the comparison becomes meaningless. Under SGD the param diff is
+    # proportional to the (tiny) gradient diff.
+    g_opt = build_optimizer({"name": "sgd", "lr": 1e-3}, gradient_clip_val=1000.0)
+    d_opt = build_optimizer({"name": "sgd", "lr": 1e-3}, gradient_clip_val=1000.0)
+
+    results = {}
+    for shared in (False, True):
+        state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+        step = model.make_train_step(g_opt, d_opt, shared_forward=shared)
+        rng = jax.random.PRNGKey(1)
+        for i in range(2):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub, 0)
+        results[shared] = (jax.device_get(state.g_params),
+                           jax.device_get(state.d_params),
+                           {k: float(v) for k, v in metrics.items()})
+
+    (gp0, dp0, m0), (gp1, dp1, m1) = results[False], results[True]
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-4, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(gp0), jax.tree_util.tree_leaves(gp1)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(dp0), jax.tree_util.tree_leaves(dp1)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_jets_segment_shapes(jets_setup):
     model, batch = jets_setup
     g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)
