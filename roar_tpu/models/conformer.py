@@ -226,7 +226,10 @@ class FFConformerEncoder(nn.Module):
 
     def embed(self, tokens):
         mask = (tokens != self.padding_idx)[..., None]
-        emb = self.word_emb(tokens) * mask.astype(jnp.float32)
+        emb = self.word_emb(tokens)
+        # mask in the embedding's dtype — an fp32 mask would promote the
+        # whole bf16 conformer stack back to fp32 (mixed-precision leak)
+        emb = emb * mask.astype(emb.dtype)
         return emb, mask
 
     def __call__(self, tokens, conditioning=None, deterministic=True):

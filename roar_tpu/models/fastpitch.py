@@ -331,7 +331,10 @@ class FastPitchModule(nn.Module):
                 pitch_tok = average_features(pitch[:, None, :], durs_predicted)[:, 0]
             else:
                 pitch_tok = pitch
-            pitch_emb = self.pitch_emb(pitch_tok[..., None])
+            # embed in the activation dtype: pitch_tok stays fp32 (loss
+            # target), but an fp32 conv input here would promote enc_out —
+            # and everything downstream — out of bf16
+            pitch_emb = self.pitch_emb(pitch_tok[..., None].astype(enc_out.dtype))
         else:
             pitch_tok = None
             pitch_emb = self.pitch_emb(pitch_predicted[..., None])
@@ -349,7 +352,9 @@ class FastPitchModule(nn.Module):
                 energy_tgt = average_features(energy[:, None, :], durs_for_energy)
                 if self.use_log_energy:
                     energy_tgt = jnp.log(1.0 + energy_tgt)
-                energy_emb = self.energy_emb(energy_tgt[:, 0, :, None])
+                energy_emb = self.energy_emb(
+                    energy_tgt[:, 0, :, None].astype(enc_out.dtype)
+                )
                 energy_tgt = energy_tgt[:, 0]
             else:
                 energy_emb = self.energy_emb(energy_pred[..., None])

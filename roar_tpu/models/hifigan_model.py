@@ -103,12 +103,27 @@ class HifiGanModel:
         mel, mel_lens = log_mel_spectrogram(audio, lens, self.mel_cfg)
         return jnp.swapaxes(mel, 1, 2), mel_lens
 
-    def _input_mel(self, batch):
+    def _input_mel(self, batch, g_params=None):
         """Generator input mel: precomputed (GTA finetune, `input_as_mel`
-        models/hifigan.py:73-75) when present, else computed from audio."""
+        models/hifigan.py:73-75) when present, else computed from audio.
+
+        When `g_params` is given, the mel is cast to the parameters' float
+        dtype: the mel front-end computes in fp32 (accuracy), but feeding
+        an fp32 mel to a bf16 generator would promote every generator
+        activation back to fp32 (mixed-precision leak)."""
         if "mel" in batch and batch["mel"] is not None:
-            return batch["mel"]
-        mel, _ = self._mel(batch["audio"], batch["audio_len"])
+            mel = batch["mel"]
+        else:
+            mel, _ = self._mel(batch["audio"], batch["audio_len"])
+        if g_params is not None:
+            dt = jnp.result_type(
+                *[
+                    x
+                    for x in jax.tree_util.tree_leaves(g_params)
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                ][:1]
+            )
+            mel = mel.astype(dt)
         return mel
 
     def _disc_all(self, d_params, d_stats, y, y_hat, update_stats: bool):
@@ -128,7 +143,7 @@ class HifiGanModel:
     def forward_split(self, g_params, batch, rng, epoch):
         """(diff_out, aux) for the shared-forward GAN step: the generator
         forward (and its input mel) runs once per step."""
-        return {"fake": self.generator.apply(g_params, self._input_mel(batch))}, {}
+        return {"fake": self.generator.apply(g_params, self._input_mel(batch, g_params))}, {}
 
     def d_loss_from_out(self, d_params, d_stats, diff_out, aux, batch):
         audio = batch["audio"]
@@ -144,12 +159,12 @@ class HifiGanModel:
         return loss, ({"d_loss_mpd": loss_mpd, "d_loss_msd": loss_msd}, new_stats)
 
     def d_loss_fn(self, d_params, d_stats, g_params, batch, rng, epoch):
-        mel = self._input_mel(batch)
+        mel = self._input_mel(batch, g_params)
         fake = jax.lax.stop_gradient(self.generator.apply(g_params, mel))
         return self.d_loss_from_out(d_params, d_stats, {"fake": fake}, {}, batch)
 
     def g_loss_fn(self, g_params, d_params, d_stats, batch, rng, epoch):
-        fake = self.generator.apply(g_params, self._input_mel(batch))
+        fake = self.generator.apply(g_params, self._input_mel(batch, g_params))
         return self.g_loss_from_out({"fake": fake}, {}, d_params, d_stats, batch, 0)
 
     def g_loss_from_out(self, diff_out, aux, d_params, d_stats, batch, epoch):

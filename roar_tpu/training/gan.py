@@ -92,8 +92,11 @@ def make_gan_train_step(
         batch = _cast(batch)
 
         # ---- discriminator update ----
+        # d_stats (spectral-norm u/v) is cast too: an fp32 sigma dividing a
+        # bf16 kernel would promote the whole spectral-normed conv back to
+        # fp32.  Master stats stay fp32 — new_stats is cast back below.
         def d_compute(d_params, d_stats, g_params):
-            return d_loss_fn(_cast(d_params), d_stats, _cast(g_params),
+            return d_loss_fn(_cast(d_params), _cast(d_stats), _cast(g_params),
                              batch, rng_d, epoch)
 
         (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
@@ -107,7 +110,7 @@ def make_gan_train_step(
 
         # ---- generator update (against updated discriminator) ----
         def g_compute(g_params):
-            return g_loss_fn(_cast(g_params), _cast(d_params), new_stats,
+            return g_loss_fn(_cast(g_params), _cast(d_params), _cast(new_stats),
                              batch, rng_g, epoch)
 
         (g_loss, g_metrics), g_grads = jax.value_and_grad(g_compute, has_aux=True)(
@@ -190,8 +193,10 @@ def make_shared_forward_gan_step(
         # ---- discriminator update (stop-gradient generator outputs) ----
         sg_out = jax.lax.stop_gradient(diff_out)
 
+        # d_stats cast at compute time (fp32 master): fp32 spectral-norm u/v
+        # would promote the spectral-normed convs out of bf16
         def d_compute(d_params, d_stats):
-            return d_loss_fn(_cast(d_params), d_stats, sg_out, aux, batch)
+            return d_loss_fn(_cast(d_params), _cast(d_stats), sg_out, aux, batch)
 
         (d_loss, (d_metrics, new_stats)), d_grads = jax.value_and_grad(
             d_compute, has_aux=True
@@ -204,7 +209,7 @@ def make_shared_forward_gan_step(
 
         # ---- generator update (against updated discriminator) ----
         def g_compute(do):
-            return g_loss_fn(do, aux, _cast(d_params), new_stats, batch, epoch)
+            return g_loss_fn(do, aux, _cast(d_params), _cast(new_stats), batch, epoch)
 
         (g_loss, g_metrics), out_bar = jax.value_and_grad(g_compute, has_aux=True)(
             diff_out
