@@ -574,3 +574,214 @@ def validate_vad_manifest(audio_rttm_map: Dict, vad_manifest: str) -> None:
         import warnings
 
         warnings.warn(f"{uniq_id} has no speech segments in the VAD manifest")
+
+
+# ----------------------------------------------------------------------
+# Streaming (online) segmentation
+#
+# Host-side bookkeeping for the streaming diarizer: an audio ring buffer
+# arrives chunk by chunk; the segmentor keeps a cumulative VAD timeline and
+# re-cuts embedding-extraction subsegments only for the region the new
+# frame invalidates.  numpy re-design of the reference's OnlineSegmentor
+# (speaker_utils.py:1705-1840) and its helpers (:1013-1330) — the device
+# never sees this logic; it only gets the fixed-size segment batches.
+# ----------------------------------------------------------------------
+
+def repeat_signal(sig: np.ndarray, sig_len: int, required_len: int) -> np.ndarray:
+    """Tile a short segment up to `required_len` samples
+    (reference asr/parts/preprocessing/segment repeat-padding semantics)."""
+    if sig_len <= 0:
+        return np.zeros((required_len,), dtype=sig.dtype)
+    reps = int(math.ceil(required_len / sig_len))
+    return np.tile(sig[:sig_len], reps)[:required_len]
+
+
+def get_target_sig(
+    sig: np.ndarray, start_sec: float, end_sec: float, slice_length: int,
+    sample_rate: int,
+) -> np.ndarray:
+    """Slice [start_sec, end_sec) out of a buffer, capped at slice_length
+    samples (speaker_utils.py:1013-1040)."""
+    start_idx = int(start_sec * sample_rate)
+    end_idx = min(int(end_sec * sample_rate), slice_length + start_idx)
+    return sig[start_idx:end_idx]
+
+
+def get_new_cursor_for_update(
+    frame_start: float, segment_range_ts: List[List[float]]
+) -> Tuple[float, int]:
+    """Walk back over tail segments that overlap the new frame; returns
+    (cursor_time, first_invalidated_index) (speaker_utils.py:1141-1176)."""
+    cursor_for_old_segments = frame_start
+    count = 0
+    while len(segment_range_ts) > count:
+        t_range = segment_range_ts[-(count + 1)]
+        if frame_start > t_range[1]:
+            break
+        count += 1
+        cursor_for_old_segments = t_range[0]
+    return cursor_for_old_segments, len(segment_range_ts) - count
+
+
+def get_speech_labels_for_update(
+    frame_start: float,
+    buffer_end: float,
+    cumulative_speech_labels: np.ndarray,
+    vad_timestamps: np.ndarray,
+    cursor_for_old_segments: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge the overlap region of the previous timeline with the new VAD
+    output; returns (labels to re-segment, updated cumulative timeline)
+    (speaker_utils.py:1071-1139)."""
+    update_overlap_range: List[float] = []
+    if cursor_for_old_segments < frame_start:
+        update_overlap_range = [float(cursor_for_old_segments), float(frame_start)]
+
+    vad_list = [[float(s), float(e)] for s, e in np.atleast_2d(vad_timestamps)
+                if e > s]
+    cum_list = [[float(s), float(e)] for s, e in np.atleast_2d(
+        cumulative_speech_labels.reshape(-1, 2))]
+
+    new_incoming = get_sub_range_list([float(frame_start), float(buffer_end)],
+                                      vad_list)
+    overlap_speech = (
+        get_sub_range_list(update_overlap_range, cum_list)
+        if update_overlap_range else []
+    )
+    labels_for_update = merge_float_intervals(overlap_speech + new_incoming) \
+        if (overlap_speech + new_incoming) else []
+    cumulative = merge_float_intervals(cum_list + new_incoming) \
+        if (cum_list + new_incoming) else []
+    return (np.asarray(labels_for_update, dtype=np.float64).reshape(-1, 2),
+            np.asarray(cumulative, dtype=np.float64).reshape(-1, 2))
+
+
+def get_online_segments_from_slices(
+    sig: np.ndarray,
+    buffer_start: float,
+    buffer_end: float,
+    subsegments: List[List[float]],
+    ind_offset: int,
+    window: float,
+    sample_rate: int,
+) -> Tuple[int, List[np.ndarray], List[List[float]], List[int]]:
+    """Cut fixed-length segment signals from buffer-relative subsegments;
+    short tails are repeat-padded to the window length
+    (speaker_utils.py:1179-1249)."""
+    sigs_list, sig_range_list, sig_indexes = [], [], []
+    slice_length = int(window * sample_rate)
+    buffer_len = buffer_end - buffer_start
+    for start_sec, dur in subsegments:
+        if start_sec > buffer_end:
+            continue
+        ind_offset += 1
+        end_sec = min(float(start_sec + dur), buffer_len)
+        signal = get_target_sig(sig, start_sec, end_sec, slice_length, sample_rate)
+        if signal.size == 0:
+            raise ValueError("zero-length online segment; check VAD output")
+        if signal.size < slice_length:
+            signal = repeat_signal(signal, signal.size, slice_length)
+        sigs_list.append(signal)
+        sig_range_list.append([buffer_start + start_sec, buffer_start + end_sec])
+        sig_indexes.append(ind_offset)
+    return ind_offset, sigs_list, sig_range_list, sig_indexes
+
+
+def get_online_subsegments_from_buffer(
+    buffer_start: float,
+    buffer_end: float,
+    sample_rate: int,
+    speech_labels_for_update: np.ndarray,
+    audio_buffer: np.ndarray,
+    segment_indexes: List[int],
+    window: float,
+    shift: float,
+) -> Tuple[List[np.ndarray], List[List[float]], List[int]]:
+    """Subsegment each updated speech interval and slice its signals from
+    the buffer (speaker_utils.py:1251-1330)."""
+    sigs_list, sig_range_list, sig_indexes = [], [], []
+    ind_offset = segment_indexes[-1] if segment_indexes else -1
+    for range_spl in np.atleast_2d(speech_labels_for_update.reshape(-1, 2)):
+        range_offs = [float(range_spl[0]) - buffer_start,
+                      float(range_spl[1]) - buffer_start]
+        range_t = [max(0.0, range_offs[0]), range_offs[1]]
+        subsegments = get_subsegments(
+            offset=range_t[0], window=window, shift=shift,
+            duration=range_t[1] - range_t[0],
+        )
+        ind_offset, sigs, ranges, inds = get_online_segments_from_slices(
+            sig=audio_buffer, buffer_start=buffer_start, buffer_end=buffer_end,
+            subsegments=subsegments, ind_offset=ind_offset, window=window,
+            sample_rate=sample_rate,
+        )
+        sigs_list.extend(sigs)
+        sig_range_list.extend(ranges)
+        sig_indexes.extend(inds)
+    return sigs_list, sig_range_list, sig_indexes
+
+
+class OnlineSegmentor:
+    """Streaming segmentor: feed (audio_buffer, vad_timestamps) per step,
+    get back the rolling embedding-extraction segment lists with the stale
+    tail replaced (speaker_utils.py:1705-1840).
+
+    The caller advances `frame_start`/`buffer_start`/`buffer_end` as its
+    ring buffer slides; `cumulative_speech_labels` carries the merged VAD
+    timeline across steps.
+    """
+
+    def __init__(self, sample_rate: int):
+        self.frame_start: float = 0.0
+        self.buffer_start: float = 0.0
+        self.buffer_end: float = 0.0
+        self.sample_rate = int(sample_rate)
+        self.cumulative_speech_labels: np.ndarray = np.zeros((0, 2), np.float64)
+
+    def run_online_segmentation(
+        self,
+        audio_buffer: np.ndarray,
+        vad_timestamps: np.ndarray,
+        segment_raw_audio: List[np.ndarray],
+        segment_range_ts: List[List[float]],
+        segment_indexes: List[int],
+        window: float,
+        shift: float,
+    ) -> Tuple[List[np.ndarray], List[List[float]], List[int]]:
+        if self.buffer_start < 0:
+            return segment_raw_audio, segment_range_ts, segment_indexes
+        vad_timestamps = np.asarray(vad_timestamps, np.float64).reshape(-1, 2)
+        if not segment_raw_audio and vad_timestamps.shape[0] > 0:
+            vad_timestamps[0][0] = max(vad_timestamps[0][0], 0.0)
+            speech_labels_for_update = vad_timestamps
+            self.cumulative_speech_labels = speech_labels_for_update.copy()
+        else:
+            cursor_for_old_segments, cursor_index = get_new_cursor_for_update(
+                self.frame_start, segment_range_ts
+            )
+            # drop the tail the new frame invalidates
+            del segment_range_ts[cursor_index:]
+            del segment_raw_audio[cursor_index:]
+            del segment_indexes[cursor_index:]
+            speech_labels_for_update, self.cumulative_speech_labels = (
+                get_speech_labels_for_update(
+                    self.frame_start, self.buffer_end,
+                    self.cumulative_speech_labels, vad_timestamps,
+                    cursor_for_old_segments,
+                )
+            )
+        sigs, ranges, inds = get_online_subsegments_from_buffer(
+            buffer_start=self.buffer_start,
+            buffer_end=self.buffer_end,
+            sample_rate=self.sample_rate,
+            speech_labels_for_update=speech_labels_for_update,
+            audio_buffer=np.asarray(audio_buffer),
+            segment_indexes=segment_indexes,
+            window=window,
+            shift=shift,
+        )
+        segment_raw_audio.extend(sigs)
+        segment_range_ts.extend(ranges)
+        segment_indexes.extend(inds)
+        if not len(segment_raw_audio) == len(segment_range_ts) == len(segment_indexes):
+            raise ValueError("Segment information has a mismatch in length.")
+        return segment_raw_audio, segment_range_ts, segment_indexes

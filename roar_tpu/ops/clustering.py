@@ -100,9 +100,12 @@ def _eig_ratio_grid(aff, p_values, max_num_speakers: int):
 
 
 def _fully_connected(aff_bin: np.ndarray) -> bool:
-    """Host-side BFS connectivity check (isGraphFullyConnected :293-303)."""
+    """Host-side BFS connectivity check (isGraphFullyConnected :293-303).
+    Any nonzero weight connects — the symmetrized one-directional edges
+    (value 0.5) count, matching the reference BFS's logical_or on float
+    rows and the Laplacian's spectral behavior."""
     n = aff_bin.shape[0]
-    adj = aff_bin > 0.5
+    adj = aff_bin > 0
     seen = np.zeros(n, bool)
     seen[0] = True
     frontier = np.asarray([0])
@@ -309,7 +312,20 @@ class SpeakerClustering:
         est_num, p_hat = nmesc.forward()
         if oracle_num_speakers is not None:
             est_num = oracle_num_speakers
-        aff_bin = binarize_topp(aff, jnp.asarray(min(p_hat, aff.shape[0])))
+        # NMESC's connectivity growth is capped at its p grid
+        # (max_rp_threshold * N); for small segment counts with near-tied
+        # affinities the top-p graph can still fragment, leaving a
+        # multi-dimensional Laplacian null space whose eigenbasis is
+        # arbitrary (clustering then depends on tie-breaking).  The
+        # reference ships this flaw with a docstring warning
+        # (getMinimumConnection :361-378); here p keeps growing until the
+        # graph actually connects.
+        n = aff.shape[0]
+        p = int(min(p_hat, n))
+        aff_bin = binarize_topp(aff, jnp.asarray(p))
+        while not _fully_connected(np.asarray(aff_bin)) and p < n:
+            p += 1
+            aff_bin = binarize_topp(aff, jnp.asarray(p))
         return SpectralClustering(
             n_clusters=int(est_num), n_random_trials=self.n_random_trials
         ).forward(aff_bin)
