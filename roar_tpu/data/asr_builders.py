@@ -338,18 +338,74 @@ def get_audio_to_label_dataset_from_config(
     """Label-dataset builder (classification / speaker-recognition /
     regression; ref audio_to_label_dataset.py get_*_label_dataset).  Multiple
     manifests mix through ConcatDataset like the text builders."""
-    del global_rank, world_size  # host sharding is the sampler's job here
     if config.get("manifest_filepath") is None:
         get_logger().warning(
             f"Could not load dataset as `manifest_filepath` was None. "
             f"Provided config: {config}"
         )
         return None
+    if config.get("is_tarred") or config.get("tarred_audio_filepaths"):
+        from roar_tpu.data.tarred_datasets import TarredAudioToLabelDataset
+
+        return TarredAudioToLabelDataset(
+            audio_tar_filepaths=config["tarred_audio_filepaths"],
+            manifest_filepath=config["manifest_filepath"],
+            sample_rate=config["sample_rate"],
+            labels=config.get("labels"),
+            label_key=config.get("label_key", "label"),
+            window_length_in_sec=config.get("window_length_in_sec"),
+            shuffle_n=config.get("tarred_shard_shuffle_n", 0)
+            or config.get("shuffle_n", 0),
+            min_duration=config.get("min_duration"),
+            max_duration=config.get("max_duration"),
+            num_shards=world_size,
+            shard_rank=global_rank,
+        )
+    del global_rank, world_size  # host sharding is the sampler's job here
     manifests = convert_to_config_list(config["manifest_filepath"])
     datasets = [
         AudioToLabelDataset(
             manifest_filepath=m[0], labels=config.get("labels"),
             **_subset(config, _LABEL_KEYS),
+        )
+        for m in manifests
+    ]
+    if len(datasets) == 1:
+        return datasets[0]
+    return ConcatDataset(
+        datasets,
+        sampling_technique=config.get("concat_sampling_technique", "temperature"),
+        sampling_probabilities=config.get("concat_sampling_probabilities"),
+    )
+
+
+_MULTI_LABEL_KEYS = (
+    "sample_rate", "min_duration", "max_duration", "trim", "delimiter",
+    "is_regression_task", "normalize_audio_db", "label_key",
+    "audio_multiple", "label_multiple",
+)
+
+
+def get_audio_to_multi_label_dataset_from_config(
+    config: Dict[str, Any], global_rank: int = 0, world_size: int = 1,
+):
+    """Frame-sequence label builder (per-frame VAD, multi-label
+    classification; ref audio_to_label.py:895-1084 AudioToMultiLabelDataset).
+    Multiple manifests mix through ConcatDataset."""
+    del global_rank, world_size
+    if config.get("manifest_filepath") is None:
+        get_logger().warning(
+            f"Could not load dataset as `manifest_filepath` was None. "
+            f"Provided config: {config}"
+        )
+        return None
+    from roar_tpu.data.asr_datasets import AudioToMultiLabelDataset
+
+    manifests = convert_to_config_list(config["manifest_filepath"])
+    datasets = [
+        AudioToMultiLabelDataset(
+            manifest_filepath=m[0], labels=config.get("labels"),
+            **_subset(config, _MULTI_LABEL_KEYS),
         )
         for m in manifests
     ]

@@ -331,3 +331,103 @@ class AudioToTargetDataset:
                 ref[j, : len(it["reference_signal"])] = it["reference_signal"]
             out["reference_signal"] = ref
         return out
+
+
+class AudioToMultiLabelDataset:
+    """Manifest -> (audio, audio_len, label sequence, label_len) for
+    frame-sequence tasks (per-frame VAD, multi-label classification)
+    (audio_to_label.py:895-1084 AudioToMultiLabelDataset).
+
+    Each manifest line carries a label SEQUENCE, e.g. "0 1 1 0 1"; in
+    regression mode the sequence parses to floats.  `normalize_audio_db`
+    rescales the waveform to a target RMS level before batching."""
+
+    def __init__(
+        self,
+        manifest_filepath,
+        sample_rate: int,
+        labels: Optional[Sequence[str]] = None,
+        min_duration: Optional[float] = None,
+        max_duration: Optional[float] = None,
+        trim: bool = False,
+        delimiter: Optional[str] = None,
+        is_regression_task: bool = False,
+        normalize_audio_db: Optional[float] = None,
+        label_key: str = "label",
+        audio_multiple: int = 16000,
+        label_multiple: int = 8,
+    ):
+        entries = read_manifest(manifest_filepath)
+        entries, _, _ = filter_by_duration(entries, min_duration, max_duration)
+        self.entries = entries
+        self.sample_rate = sample_rate
+        self.trim = trim
+        self.delimiter = delimiter
+        self.is_regression_task = is_regression_task
+        self.normalize_audio_db = normalize_audio_db
+        self.label_key = label_key
+        self.audio_multiple = audio_multiple
+        self.label_multiple = label_multiple
+
+        if is_regression_task:
+            self.labels = None
+            self.label2id = self.id2label = None
+        else:
+            if labels is None:
+                seen = set()
+                for e in entries:
+                    seen.update(self._split(e.get(label_key, "")))
+                labels = sorted(seen)
+            self.labels = list(labels)
+            self.label2id = {l: i for i, l in enumerate(self.labels)}
+            self.id2label = {i: l for i, l in enumerate(self.labels)}
+        self.lengths = [float(e.get("duration", 0.0)) for e in entries]
+
+    def _split(self, raw) -> List[str]:
+        if isinstance(raw, (list, tuple)):
+            return [str(x) for x in raw]
+        return str(raw).split(self.delimiter)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        e = self.entries[idx]
+        seg = AudioSegment.from_file(
+            e["audio_filepath"], target_sr=self.sample_rate, trim=self.trim,
+            offset=e.get("offset", 0.0) or 0.0, duration=e.get("duration"),
+        )
+        audio = seg.samples.astype(np.float32)
+        if self.normalize_audio_db is not None:
+            rms = float(np.sqrt(np.mean(np.square(audio)))) or 1e-8
+            target = 10.0 ** (self.normalize_audio_db / 20.0)
+            audio = audio * (target / max(rms, 1e-8))
+        toks = self._split(e.get(self.label_key, ""))
+        if self.is_regression_task:
+            label = np.asarray([float(t) for t in toks], np.float32)
+        else:
+            label = np.asarray([self.label2id[t] for t in toks], np.int32)
+        return {
+            "audio": audio,
+            "audio_len": np.int32(len(audio)),
+            "label": label,
+            "label_len": np.int32(len(label)),
+        }
+
+    def collate(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        b = len(items)
+        s = _round_up(max(len(i["audio"]) for i in items), self.audio_multiple)
+        t = _round_up(max(len(i["label"]) for i in items), self.label_multiple)
+        label_dtype = np.float32 if self.is_regression_task else np.int32
+        out = {
+            "audio": np.zeros((b, s), np.float32),
+            "audio_len": np.zeros((b,), np.int32),
+            "label": np.zeros((b, t), label_dtype),
+            "label_len": np.zeros((b,), np.int32),
+        }
+        for j, it in enumerate(items):
+            out["audio"][j, : len(it["audio"])] = it["audio"]
+            out["audio_len"][j] = it["audio_len"]
+            out["label"][j, : len(it["label"])] = it["label"]
+            out["label_len"][j] = it["label_len"]
+        return out

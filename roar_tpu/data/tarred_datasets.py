@@ -197,3 +197,55 @@ class TarredAudioToBPEDataset(TarredAudioTextDataset):
         super().__init__(
             audio_tar_filepaths, manifest_filepath, parse, sample_rate, **kwargs,
         )
+
+
+class TarredAudioToLabelDataset(TarredAudioTextDataset):
+    """Tar-sharded (audio, label) items for classification / speaker tasks
+    (audio_to_label.py:469-894 _TarredAudioLabelDataset and its
+    Classification/SpeechLabel subclasses — one implementation here; the
+    subclass split in the reference differs only in featurizer plumbing).
+
+    Reuses the shard partitioning / shuffle machinery of
+    TarredAudioTextDataset; the parser maps the manifest's `label_key`
+    value to an id."""
+
+    def __init__(
+        self,
+        audio_tar_filepaths,
+        manifest_filepath: str,
+        sample_rate: int,
+        labels=None,
+        label_key: str = "label",
+        window_length_in_sec=None,
+        **kwargs,
+    ):
+        super().__init__(
+            audio_tar_filepaths, manifest_filepath,
+            parser=lambda s: [], sample_rate=sample_rate, **kwargs,
+        )
+        self.label_key = label_key
+        self.window = window_length_in_sec
+        if labels is None:
+            labels = sorted({str(e.get(label_key)) for e in self.entries})
+        self.labels = list(labels)
+        self.label2id = {l: i for i, l in enumerate(self.labels)}
+        self.id2label = {i: l for i, l in enumerate(self.labels)}
+
+    def _make_item(self, name, data):
+        base = name.rsplit("/", 1)[-1]
+        entry = self.by_key.get(base) or self.by_key.get(base.rsplit(".", 1)[0])
+        if entry is None:
+            return None
+        samples = _decode_audio(base, data, self.sample_rate).astype(np.float32)
+        if self.augmentor is not None:
+            samples = self.augmentor.perturb(samples, self.sample_rate)
+        if self.window is not None:
+            n = int(self.window * self.sample_rate)
+            samples = samples[:n] if len(samples) >= n else np.pad(
+                samples, (0, n - len(samples))
+            )
+        return {
+            "audio": samples,
+            "audio_len": np.int32(len(samples)),
+            "label": np.int32(self.label2id[str(entry.get(self.label_key))]),
+        }

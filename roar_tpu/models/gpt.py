@@ -540,7 +540,9 @@ class CausalSelfAttention(nn.Module):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-        scale = 1.0 / np.sqrt(hs)
+        # float(): a np.float64 scalar is strong-typed and would promote
+        # bf16 scores to fp32; a Python float stays weak-typed
+        scale = float(1.0 / np.sqrt(hs))
         # flash only on the from-scratch training path: a nonzero pos_offset
         # shifts the causal diagonal (query i attends keys <= i+offset),
         # which the kernel's position-aligned causal mask cannot express

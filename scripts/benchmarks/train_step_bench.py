@@ -170,11 +170,17 @@ def bench_gpt(args):
     tok = jnp.asarray(rng.integers(0, 256, (args.batch, args.seq)), jnp.int32)
     tgt = jnp.asarray(rng.integers(0, 256, (args.batch, args.seq)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), tok)
+    use_bf16 = args.precision == "bf16"
 
     @jax.jit
     def step(p):
         def loss(p):
-            lp = jax.nn.log_softmax(model.apply(p, tok))
+            if use_bf16:  # bf16 compute, fp32 master (trainer.py semantics)
+                from roar_tpu.training.trainer import cast_floating
+
+                p = cast_floating(p, jnp.bfloat16)
+            logits = model.apply(p, tok).astype(jnp.float32)
+            lp = jax.nn.log_softmax(logits)
             return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
 
         l, g = jax.value_and_grad(loss)(p)
@@ -189,7 +195,7 @@ def bench_gpt(args):
     print(json.dumps({
         "metric": "gpt_train_step_ms", "value": round(dt * 1000, 2),
         "unit": "ms", "batch": args.batch, "seq": args.seq,
-        "flash": bool(args.flash),
+        "flash": bool(args.flash), "precision": args.precision,
         "tokens_per_sec": round(args.batch * args.seq / dt, 1),
         **_mfu(step, dt, params),
     }))

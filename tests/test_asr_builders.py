@@ -202,3 +202,103 @@ def test_shipped_asr_config_instantiates(asr_corpus):
     assert len(train) == 4 and len(val) == 4
     batch = train.collate([train[i] for i in range(4)])
     assert batch["audio"].shape[0] == 4 and np.isfinite(batch["audio"]).all()
+
+
+# ----------------------------------------------------------------------
+# Multi-label + tarred-label datasets (r3 depth: audio_to_label.py
+# :469-894 tarred variants, :895-1084 AudioToMultiLabelDataset)
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def multilabel_corpus(asr_corpus, tmp_path_factory):
+    root, man, _, _, sr = asr_corpus
+    out = tmp_path_factory.mktemp("ml")
+    man_ml = out / "ml.json"
+    with open(man, encoding="utf-8") as f:
+        entries = [json.loads(l) for l in f if l.strip()]
+    with open(man_ml, "w") as f:
+        for i, e in enumerate(entries):
+            e = dict(e)
+            e["label"] = " ".join(str((i + j) % 2) for j in range(3 + i))
+            f.write(json.dumps(e) + "\n")
+    return str(man_ml), sr
+
+
+def test_multi_label_dataset_items_and_collate(multilabel_corpus):
+    from roar_tpu.data.asr_datasets import AudioToMultiLabelDataset
+
+    man, sr = multilabel_corpus
+    ds = AudioToMultiLabelDataset(manifest_filepath=man, sample_rate=sr)
+    assert ds.labels == ["0", "1"]
+    items = [ds[i] for i in range(len(ds))]
+    assert [int(i["label_len"]) for i in items] == [3, 4, 5, 6]
+    batch = ds.collate(items)
+    assert batch["label"].shape[0] == 4
+    assert batch["label"].shape[1] % ds.label_multiple == 0
+    assert batch["label"].dtype == np.int32
+    # padded label tail is zero
+    assert (batch["label"][0, 3:] == 0).all()
+
+
+def test_multi_label_regression_and_normalize(multilabel_corpus):
+    from roar_tpu.data.asr_datasets import AudioToMultiLabelDataset
+
+    man, sr = multilabel_corpus
+    ds = AudioToMultiLabelDataset(
+        manifest_filepath=man, sample_rate=sr, is_regression_task=True,
+        normalize_audio_db=-20.0,
+    )
+    item = ds[0]
+    assert item["label"].dtype == np.float32
+    rms = np.sqrt(np.mean(np.square(item["audio"])))
+    np.testing.assert_allclose(rms, 10 ** (-20 / 20), rtol=1e-3)
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch["label"].dtype == np.float32
+
+
+def test_tarred_label_dataset(asr_corpus):
+    from roar_tpu.data.tarred_datasets import TarredAudioToLabelDataset
+
+    _, man, _, tar, sr = asr_corpus
+    ds = TarredAudioToLabelDataset(
+        audio_tar_filepaths=tar, manifest_filepath=man, sample_rate=sr,
+        window_length_in_sec=0.25,
+    )
+    assert ds.labels == ["spk0", "spk1"]
+    items = list(iter(ds))
+    assert len(items) == 4
+    n = int(0.25 * sr)
+    assert all(i["audio"].shape == (n,) for i in items)
+    assert sorted({int(i["label"]) for i in items}) == [0, 1]
+
+
+def test_label_builder_tarred_dispatch(asr_corpus):
+    from roar_tpu.data.asr_builders import get_audio_to_label_dataset_from_config
+    from roar_tpu.data.tarred_datasets import TarredAudioToLabelDataset
+
+    _, man, _, tar, sr = asr_corpus
+    ds = get_audio_to_label_dataset_from_config(
+        {"manifest_filepath": man, "tarred_audio_filepaths": tar,
+         "sample_rate": sr, "is_tarred": True}
+    )
+    assert isinstance(ds, TarredAudioToLabelDataset)
+    assert len(list(iter(ds))) == 4
+
+
+def test_multi_label_builder(multilabel_corpus):
+    from roar_tpu.data.asr_builders import (
+        get_audio_to_multi_label_dataset_from_config,
+    )
+
+    man, sr = multilabel_corpus
+    ds = get_audio_to_multi_label_dataset_from_config(
+        {"manifest_filepath": man, "sample_rate": sr}
+    )
+    assert len(ds) == 4
+    both = get_audio_to_multi_label_dataset_from_config(
+        {"manifest_filepath": [man, man], "sample_rate": sr}
+    )
+    from roar_tpu.data.concat_dataset import ConcatDataset
+
+    assert isinstance(both, ConcatDataset)
+    assert get_audio_to_multi_label_dataset_from_config({"sample_rate": sr}) is None
