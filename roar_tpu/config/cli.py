@@ -21,7 +21,9 @@ from typing import Callable, Optional
 from roar_tpu.config.config import load_config
 
 
-def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
+def enable_persistent_compilation_cache(
+    path: Optional[str] = None, min_compile_secs: float = 2.0
+) -> None:
     """Point XLA's persistent compilation cache at the framework cache dir
     so repeated runs (smoke tests, resumed jobs, sweeps) skip the 20-120 s
     first-compile.  Opt out with ROAR_XLA_CACHE=0.  The TPU analogue of the
@@ -39,7 +41,7 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
         cache = Path(env) if env else resolve_cache_dir() / "xla_cache"
         cache.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
     except Exception:  # cache is an optimization; never block startup on it
         pass
 

@@ -20,7 +20,8 @@ MSD: 3 scales with avg-pool downsampling, first one spectrally normalized
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import os
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,11 +30,80 @@ from flax import linen as nn
 
 LRELU_SLOPE = 0.1
 
+# Toggle for the masked-dense grouped-conv lowering experiment (see
+# MaskedGroupedConv).  Native grouped convs are the measured default: the
+# dense lowering LOST 25% wall-clock end-to-end (DESIGN.md §7e).
+_DENSE_GROUPED = os.environ.get("ROAR_DENSE_GROUPED", "0") == "1"
+
 _normal_init = nn.initializers.normal(stddev=0.01)
 
 
 def _lrelu(x, slope=LRELU_SLOPE):
     return nn.leaky_relu(x, negative_slope=slope)
+
+
+class MaskedGroupedConv(nn.Module):
+    """Grouped 1D conv computed as a zero-masked DENSE conv — a measured
+    NEGATIVE result, kept behind `ROAR_DENSE_GROUPED=1` (off by default).
+
+    Hypothesis: XLA's TPU grouped-conv lowering starves the 128-wide MXU
+    (the per-group contraction dim is Cin/G = 32-64 here), so a
+    block-diagonal dense kernel — mathematically identical: output group g
+    reads only input group g, the off-diagonal blocks are zero and their
+    gradients are zero by construction — should win despite G× the FLOPs.
+    In isolation the dense conv does hit ~5x the grouped conv's TF/s, and
+    its inflated FLOP count makes the *MFU column look better* (0.47 vs
+    0.21).  End-to-end it is 25% SLOWER: 205 vs 164 ms/step on the full
+    HiFi-GAN GAN step (b32, 8192-sample segments, bf16, v5e) — the step is
+    HBM-bound, and materializing the G×-larger dense kernel plus its
+    gradient each step adds more bytes than the MXU utilisation saves.
+    Full writeup in DESIGN.md §7e.  Parameters stay in nn.Conv's grouped
+    layout (kernel [K, Cin/G, Cout], bias [Cout]) so the toggle never
+    touches checkpoints, transplants or WeightNorm/SpectralNorm wrappers.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...] = (1,)
+    kernel_dilation: Tuple[int, ...] = (1,)
+    feature_group_count: int = 1
+    padding: Any = "SAME"
+    kernel_init: Any = _normal_init
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size[0]
+        g = self.feature_group_count
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, cin // g, self.features), jnp.float32
+        )
+        kernel = kernel.astype(x.dtype)
+        if g == 1:
+            dense = kernel
+        else:
+            # [K, Cin/G, G_out, Cout/G] x eye -> block-diagonal
+            # [K, G_in, Cin/G, Cout]; grouped semantics: out group g reads
+            # in channels [g*Cin/G, (g+1)*Cin/G)
+            w4 = kernel.reshape(k, cin // g, g, self.features // g)
+            eye = jnp.eye(g, dtype=x.dtype)
+            dense = jnp.einsum("kcgo,gh->khcgo", w4, eye).reshape(
+                k, cin, self.features
+            )
+        pad = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, dense, window_strides=self.strides,
+            padding=pad if isinstance(pad, str) else [tuple(p) for p in pad],
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def wn_conv(
@@ -233,13 +303,20 @@ class DiscriminatorS(nn.Module):
         x = x[..., None]  # [B, S, 1]
         fmap = []
         for i, (ch, k, s, g) in enumerate(specs):
-            conv = nn.Conv(
+            # ROAR_DENSE_GROUPED=1 routes the grouped layers through the
+            # masked-dense lowering (same params, same math; measured
+            # slower end-to-end — see MaskedGroupedConv).  Conv names are
+            # pinned to the Conv_{i} sequence flax auto-assigns so both
+            # paths share checkpoints and reference transplants.
+            conv_cls = MaskedGroupedConv if (g > 4 and _DENSE_GROUPED) else nn.Conv
+            conv = conv_cls(
                 ch,
                 (k,),
                 strides=(s,),
                 feature_group_count=g,
                 padding=[((k - 1) // 2, (k - 1) // 2)],
                 kernel_init=_normal_init,
+                name=f"Conv_{i}",
             )
             layer = self._norm(conv, f"convs_{i}")
             x = (
@@ -249,7 +326,7 @@ class DiscriminatorS(nn.Module):
             )
             x = _lrelu(x)
             fmap.append(x)
-        post = nn.Conv(1, (3,), padding=[(1, 1)])
+        post = nn.Conv(1, (3,), padding=[(1, 1)], name=f"Conv_{len(specs)}")
         layer = self._norm(post, "conv_post")
         x = layer(x, update_stats=update_stats) if self.use_spectral_norm else layer(x)
         fmap.append(x)

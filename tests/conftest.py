@@ -27,7 +27,7 @@ jax.config.update("jax_enable_x64", False)
 # (config/cli.py:24); opt out with ROAR_XLA_CACHE=0.
 from roar_tpu.config.cli import enable_persistent_compilation_cache  # noqa: E402
 
-enable_persistent_compilation_cache()
+enable_persistent_compilation_cache(min_compile_secs=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -132,10 +132,11 @@ def test_speaker_encoder_shapes_norm_and_masking():
 
     from roar_tpu.models.speaker_embedding import SpeakerEncoder
 
-    model = SpeakerEncoder(emb_dim=64, channels=32)
+    model = SpeakerEncoder(emb_dim=64, channels=16)
     rng = np.random.default_rng(0)
-    audio = rng.standard_normal((2, SR)).astype(np.float32) * 0.1
-    mel, mel_lens = _mel(audio, [SR, SR // 2])
+    n = SR // 2
+    audio = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+    mel, mel_lens = _mel(audio, [n, n // 2])
     params = model.init(jax.random.PRNGKey(0), mel, mel_lens)
     emb = jax.jit(model.apply)(params, mel, mel_lens)
     assert emb.shape == (2, 64)
@@ -271,7 +272,7 @@ def test_learned_encoder_pipeline_smoke(diar_corpus):
 
     root, manifest = diar_corpus
     out = root / "rttm_enc"
-    cfg = _config(embedding="encoder", emb_dim=64)
+    cfg = _config(embedding="encoder", emb_dim=32)
     results = ClusteringDiarizer(cfg).diarize_manifest(str(manifest), str(out))
     res = results["two_spk"]
     assert (out / "two_spk.rttm").exists()

@@ -100,3 +100,36 @@ def test_generator_gradients_flow():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_masked_grouped_conv_matches_native_grouped():
+    """MaskedGroupedConv (block-diagonal dense lowering; measured slower
+    end-to-end, kept behind ROAR_DENSE_GROUPED=1 — DESIGN.md §7e) must
+    match nn.Conv's feature_group_count exactly — same param tree, same
+    outputs, same gradients — so the toggle can never change the math."""
+    import flax.linen as nn
+
+    from roar_tpu.models.hifigan import MaskedGroupedConv
+
+    rng = np.random.default_rng(0)
+    B, L, Cin, Cout, K, G, S = 2, 64, 16, 32, 41, 4, 2
+    x = jnp.asarray(rng.standard_normal((B, L, Cin)), jnp.float32)
+    kw = dict(strides=(S,), feature_group_count=G,
+              padding=[((K - 1) // 2, (K - 1) // 2)])
+    ref = nn.Conv(Cout, (K,), **kw)
+    new = MaskedGroupedConv(Cout, (K,), **kw)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(new.init(jax.random.PRNGKey(1), x)))
+    np.testing.assert_allclose(
+        np.asarray(ref.apply(p, x)), np.asarray(new.apply(p, x)),
+        rtol=1e-6, atol=1e-6,
+    )
+    g_ref = jax.grad(lambda p: float(0) + jnp.sum(jnp.tanh(ref.apply(p, x))))(p)
+    g_new = jax.grad(lambda p: float(0) + jnp.sum(jnp.tanh(new.apply(p, x))))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_new)):
+        # kernel grads are exact; bias grads differ only by summation
+        # order of the fused output reduction
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)

@@ -27,6 +27,20 @@ def _bf16(tree):
     return cast_floating(tree, jnp.bfloat16)
 
 
+def _abstract_params(module_init, *args, **kwargs):
+    """Params as bf16 ShapeDtypeStructs via eval_shape — no init compute.
+    dtype propagation only needs shapes+dtypes, so the whole test runs
+    without compiling or executing anything."""
+    shapes = jax.eval_shape(module_init, *args, **kwargs)
+    return jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(
+            s.shape,
+            jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype,
+        ),
+        shapes,
+    )
+
+
 @pytest.fixture(scope="module")
 def jets_setup():
     from roar_tpu.config import load_config
@@ -56,7 +70,7 @@ def jets_setup():
         "align_prior_matrix": jnp.ones((B, T_MEL, T_TEXT), jnp.float32) / T_TEXT,
         "speaker_id": jnp.zeros((B,), jnp.int32),
     }
-    g, d, ds = model.init_params(jax.random.PRNGKey(0), batch)
+    g, d, ds = _abstract_params(model.init_params, jax.random.PRNGKey(0), batch)
     return model, batch, g, d, ds
 
 
@@ -64,7 +78,7 @@ def test_jets_forward_stays_bf16(jets_setup):
     model, batch, g, _, _ = jets_setup
     key = jax.random.PRNGKey(1)
     out = jax.eval_shape(
-        lambda p, b: model._forward(p, b, key), _bf16(g), _bf16(batch)
+        lambda p, b: model._forward(p, b, key), g, _bf16(batch)
     )
     for k in ("wav", "log_durs_predicted", "pitch_predicted", "energy_pred",
               "durs_predicted"):
@@ -80,7 +94,7 @@ def test_jets_discriminators_stay_bf16(jets_setup):
     y = jax.ShapeDtypeStruct((B, seg), jnp.bfloat16)
     mpd_out, msd_out, _ = jax.eval_shape(
         lambda dp, dst, y: model._disc_all(dp, dst, y, y, update_stats=False),
-        _bf16(d), _bf16(ds), y,
+        d, ds, y,
     )
     assert all(o.dtype == jnp.bfloat16 for o in mpd_out[0]), "MPD promoted"
     assert all(o.dtype == jnp.bfloat16 for o in msd_out[0]), (
@@ -101,9 +115,9 @@ def test_hifigan_generator_stays_bf16():
         "audio": jnp.zeros((B, seg), jnp.float32),
         "audio_len": jnp.full((B,), seg, jnp.int32),
     }
-    g, d, ds = model.init_params(jax.random.PRNGKey(0), batch)
+    g, d, ds = _abstract_params(model.init_params, jax.random.PRNGKey(0), batch)
     diff, _ = jax.eval_shape(
-        lambda p, b: model.forward_split(p, b, None, 0), _bf16(g), _bf16(batch)
+        lambda p, b: model.forward_split(p, b, None, 0), g, _bf16(batch)
     )
     assert diff["fake"].dtype == jnp.bfloat16, (
         "generator promoted (fp32 front-end mel reaching the generator?)"
@@ -119,8 +133,8 @@ def test_gpt_logits_stay_bf16():
     )
     model = GPT(cfg)
     tok = jnp.ones((B, 16), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), tok)
-    out = jax.eval_shape(lambda p: model.apply(p, tok), _bf16(params))
+    params = _abstract_params(model.init, jax.random.PRNGKey(0), tok)
+    out = jax.eval_shape(lambda p: model.apply(p, tok), params)
     assert out.dtype == jnp.bfloat16, (
         "GPT promoted (strong-typed numpy scalar in attention scale?)"
     )
@@ -150,7 +164,7 @@ def test_fastpitch_forward_stays_bf16():
         "pitch": jnp.zeros((B, T_MEL), jnp.float32),
         "align_prior_matrix": jnp.ones((B, T_MEL, T_TEXT), jnp.float32) / T_TEXT,
     }
-    params = model.init_params(jax.random.PRNGKey(0), batch)
+    params = _abstract_params(model.init_params, jax.random.PRNGKey(0), batch)
 
     def fwd(p, b):
         # mirror loss_fn's forward (fastpitch_model.py:244-262): fp32 spec
@@ -162,6 +176,6 @@ def test_fastpitch_forward_stays_bf16():
             mel_lens=mel_lens, input_lens=b["text_len"], deterministic=True,
         )
 
-    out = jax.eval_shape(fwd, _bf16(params), _bf16(batch))
+    out = jax.eval_shape(fwd, params, _bf16(batch))
     assert out["spect"].dtype == jnp.bfloat16, out["spect"].dtype
     assert out["attn_logprob"].dtype == jnp.float32
