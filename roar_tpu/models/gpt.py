@@ -535,11 +535,7 @@ class CausalSelfAttention(nn.Module):
             k, v = ck, cv
             new_cache = (ck, cv)
 
-        # expand groups to heads (GQA)
         rep = nh // ng
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-
         # float(): a np.float64 scalar is strong-typed and would promote
         # bf16 scores to fp32; a Python float stays weak-typed
         scale = float(1.0 / np.sqrt(hs))
@@ -557,18 +553,31 @@ class CausalSelfAttention(nn.Module):
 
             use_flash = _flash_attention_available()
         if use_flash:
-            out = _causal_flash(q, k, v, mask, scale).reshape(b, t, nh * hs)
+            # the Pallas kernel wants equal q/kv head counts; materializing
+            # the repeat is fine here — training is compute-bound
+            kf = jnp.repeat(k, rep, axis=2)
+            vf = jnp.repeat(v, rep, axis=2)
+            out = _causal_flash(q, kf, vf, mask, scale).reshape(b, t, nh * hs)
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            # GQA without materializing per-head K/V: fold the group into
+            # the contraction instead of jnp.repeat-ing K/V rep× (which at
+            # decode shapes dominated HBM traffic — ~12 GB/step of the 32
+            # measured at tiny-llama B8/kv2048, DESIGN.md §7c).  Head
+            # h = g*rep + r of the repeat formulation is exactly
+            # q5[..., g, r, :], so outputs are bit-identical in layout.
+            q5 = q.reshape(b, t, ng, rep, hs)
+            scores = jnp.einsum("bqgrd,bkgd->bgrqk", q5, k) * scale
             t_k = k.shape[1]
             q_pos = pos_offset + jnp.arange(t)[:, None]
             k_pos = jnp.arange(t_k)[None, :]
             causal = k_pos <= q_pos  # [t, t_k]
-            scores = jnp.where(causal[None, None], scores, -1e9)
+            scores = jnp.where(causal[None, None, None], scores, -1e9)
             if mask is not None:
-                scores = jnp.where(mask[:, None, None, :t_k], scores, -1e9)
+                scores = jnp.where(mask[:, None, None, None, :t_k], scores, -1e9)
             probs = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, nh * hs)
+            out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v).reshape(
+                b, t, nh * hs
+            )
         out = nn.Dense(cfg.n_embd, use_bias=cfg.bias, name="proj")(out)
         return out, new_cache
 

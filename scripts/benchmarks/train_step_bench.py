@@ -19,6 +19,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
@@ -229,9 +230,18 @@ def bench_gpt_decode(args):
     B = args.batch
     tok = jnp.asarray(rng.integers(0, 32000, (B, 1)), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), tok)
-    caches = init_kv_caches(cfg, B)
+    dtype = jnp.float32
+    if args.precision == "bf16":
+        from roar_tpu.training.trainer import cast_floating
 
-    @jax.jit
+        params = cast_floating(params, jnp.bfloat16)
+        dtype = jnp.bfloat16
+    caches = init_kv_caches(cfg, B, dtype=dtype)
+
+    # donate the caches: the serving loop (generate()'s lax.scan carry)
+    # updates them in place; without donation XLA copies the full cache
+    # every step, which at decode shapes is pure wasted HBM traffic
+    @partial(jax.jit, donate_argnums=(3,))
     def decode(params, tok, pos, caches):
         logits, caches = model.apply(params, tok, pos, caches)
         return logits, caches
