@@ -43,6 +43,10 @@ class BertConfig:
     padding_idx: int = 0
     add_pooling_layer: bool = True
     max_len: int = 2048
+    # >0 adds an additive segment (token-type) embedding for NSP-style
+    # sentence pairs (bert_dataset.py input_type_ids); 0 keeps the param
+    # tree of segment-free checkpoints unchanged
+    type_vocab_size: int = 0
 
     @property
     def head_size(self) -> int:
@@ -64,10 +68,15 @@ class BertEmbeddings(nn.Module):
     vocab_size: int
     d_model: int
     dropout: float = 0.0
+    type_vocab_size: int = 0
 
     @nn.compact
-    def __call__(self, tokens, deterministic=True):
+    def __call__(self, tokens, token_type_ids=None, deterministic=True):
         x = nn.Embed(self.vocab_size, self.d_model, name="word_embeddings")(tokens)
+        if self.type_vocab_size > 0 and token_type_ids is not None:
+            x = x + nn.Embed(
+                self.type_vocab_size, self.d_model, name="token_type_embeddings"
+            )(token_type_ids)
         x = nn.LayerNorm(name="LayerNorm")(x)
         return nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
 
@@ -142,12 +151,13 @@ class BertEncoder(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, tokens, deterministic=True):
+    def __call__(self, tokens, token_type_ids=None, deterministic=True):
         cfg = self.cfg
         pad_mask = tokens != cfg.padding_idx
-        x = BertEmbeddings(cfg.vocab_size, cfg.d_model, cfg.dropout, name="word_emb")(
-            tokens, deterministic
-        )
+        x = BertEmbeddings(
+            cfg.vocab_size, cfg.d_model, cfg.dropout, cfg.type_vocab_size,
+            name="word_emb",
+        )(tokens, token_type_ids, deterministic)
         for i in range(cfg.n_layer):
             x = BertBlock(cfg, name=f"layers_{i}")(x, pad_mask, deterministic)
         x = RMSNorm(cfg.norm_eps, name="ln_f")(x)
@@ -177,12 +187,85 @@ class BertForMaskedLM(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, tokens, deterministic=True):
-        seq, _ = BertEncoder(self.cfg, name="bert")(tokens, deterministic)
+    def __call__(self, tokens, token_type_ids=None, deterministic=True):
+        seq, _ = BertEncoder(self.cfg, name="bert")(
+            tokens, token_type_ids, deterministic
+        )
         emb = self.variables["params"]["bert"]["word_emb"]["word_embeddings"][
             "embedding"
         ]
         return BertOnlyMLMHead(self.cfg.d_model, name="mlm")(seq, emb)
+
+
+class BertForPreTraining(nn.Module):
+    """Encoder + tied MLM head + NSP head — the BERT pretraining graph fed
+    by ``data/lm_dataset.py`` (MLM logits [B, T, vocab], NSP logits
+    [B, 2] from the pooled first token)."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, tokens, token_type_ids=None, deterministic=True):
+        seq, pooled = BertEncoder(self.cfg, name="bert")(
+            tokens, token_type_ids, deterministic
+        )
+        emb = self.variables["params"]["bert"]["word_emb"]["word_embeddings"][
+            "embedding"
+        ]
+        mlm = BertOnlyMLMHead(self.cfg.d_model, name="mlm")(seq, emb)
+        nsp = nn.Dense(2, name="seq_relationship")(pooled)
+        return mlm, nsp
+
+
+class BertPretrainingModel:
+    """MLM+NSP pretraining task for the supervised engine
+    (``training/run.py`` train_supervised): loss = masked-LM cross entropy
+    + next-sentence cross entropy, the composition the reference's BERT
+    stack trains against (bert_dataset.py outputs; fused xentropy loss
+    nlp/losses/fused_cross_entropy.py)."""
+
+    def __init__(self, cfg):
+        mcfg = {k: v for k, v in (cfg or {}).items()
+                if k in {f.name for f in dataclasses.fields(BertConfig)}}
+        mcfg.setdefault("type_vocab_size", 2)
+        self.config = BertConfig(**mcfg)
+        self.module = BertForPreTraining(self.config)
+        self.nsp_weight = float((cfg or {}).get("nsp_weight", 1.0))
+
+    def init_params(self, rng, batch):
+        tokens = jnp.asarray(batch["input_ids"])
+        types = jnp.asarray(batch["input_type_ids"])
+
+        @jax.jit
+        def _init(rng, tokens, types):
+            return self.module.init(rng, tokens, types)
+
+        return _init(rng, tokens, types)
+
+    def loss_fn(self, params, batch, rng=None, epoch: int = 0,
+                deterministic: bool = False):
+        mlm_logits, nsp_logits = self.module.apply(
+            params,
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["input_type_ids"]),
+            deterministic=deterministic,
+            rngs={"dropout": rng} if rng is not None else None,
+        )
+        mlm = masked_mlm_loss(
+            mlm_logits, jnp.asarray(batch["output_ids"]),
+            jnp.asarray(batch["output_mask"]) > 0,
+        )
+        nsp_logits = nsp_logits.astype(jnp.float32)
+        labels = jnp.asarray(batch["is_next"])
+        logz = jax.nn.logsumexp(nsp_logits, axis=-1)
+        gold = jnp.take_along_axis(nsp_logits, labels[:, None], axis=-1)[:, 0]
+        nsp = jnp.mean(logz - gold)
+        loss = mlm + self.nsp_weight * nsp
+        nsp_acc = jnp.mean(
+            (jnp.argmax(nsp_logits, -1) == labels).astype(jnp.float32)
+        )
+        return loss, {"loss": loss, "mlm_loss": mlm, "nsp_loss": nsp,
+                      "nsp_acc": nsp_acc}
 
 
 def masked_mlm_loss(logits, labels, loss_mask):

@@ -231,6 +231,15 @@ def get_schedule(
         if max_steps is None:
             raise ValueError(f"{name} needs max_steps")
         kwargs.setdefault("max_steps", max_steps)
+    # reference WarmupPolicy semantics (lr_schedulers.py:40-80): warmup_ratio
+    # is a fraction of max_steps, mutually exclusive with warmup_steps
+    ratio = kwargs.pop("warmup_ratio", None)
+    if ratio is not None:
+        if kwargs.get("warmup_steps") is not None:
+            raise ValueError("pass either warmup_steps or warmup_ratio, not both")
+        if max_steps is None:
+            raise ValueError("warmup_ratio needs max_steps")
+        kwargs["warmup_steps"] = int(float(ratio) * max_steps)
     return _SCHEDULES[name](initial_lr=initial_lr, **kwargs)
 
 
