@@ -416,3 +416,48 @@ def get_audio_to_multi_label_dataset_from_config(
         sampling_technique=config.get("concat_sampling_technique", "temperature"),
         sampling_probabilities=config.get("concat_sampling_probabilities"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-to-audio builders (ref audio_to_audio_dataset.py:4-100)
+# ---------------------------------------------------------------------------
+
+_A2A_KEYS = (
+    "sample_rate", "input_key", "target_key", "audio_duration",
+    "min_duration", "max_duration", "audio_multiple",
+)
+
+
+def get_audio_to_target_dataset(config: Dict[str, Any]):
+    """(input, target) audio-pair dataset for enhancement / separation
+    (ref audio_to_audio_dataset.py:4-26 get_audio_to_target_dataset)."""
+    from roar_tpu.data.asr_datasets import AudioToTargetDataset
+
+    return AudioToTargetDataset(
+        manifest_filepath=config["manifest_filepath"],
+        **_subset(config, _A2A_KEYS),
+    )
+
+
+def get_audio_to_target_with_reference_dataset(config: Dict[str, Any]):
+    """Adds a reference signal (e.g. enrollment audio for target-speaker
+    extraction; ref audio_to_audio_dataset.py:29-55)."""
+    from roar_tpu.data.asr_datasets import AudioToTargetDataset
+
+    return AudioToTargetDataset(
+        manifest_filepath=config["manifest_filepath"],
+        reference_key=config.get("reference_key", "reference_filepath"),
+        **_subset(config, _A2A_KEYS),
+    )
+
+
+def get_audio_to_target_with_embedding_dataset(config: Dict[str, Any]):
+    """Adds a per-item embedding vector loaded from .npy (e.g. speaker
+    d-vector; ref audio_to_audio_dataset.py:58-100)."""
+    from roar_tpu.data.asr_datasets import AudioToTargetDataset
+
+    return AudioToTargetDataset(
+        manifest_filepath=config["manifest_filepath"],
+        embedding_key=config.get("embedding_key", "embedding_filepath"),
+        **_subset(config, _A2A_KEYS),
+    )

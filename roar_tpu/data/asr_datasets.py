@@ -253,7 +253,9 @@ class AudioToTargetDataset:
     (audio_to_audio.py:665-870 AudioToTargetDataset): manifest keys for
     input/target paths, optional fixed-duration random crop of synchronized
     segments, optional reference audio (AudioToTargetWithReferenceDataset
-    :871-1014 via `reference_key`)."""
+    :871-1014 via `reference_key`), optional per-item embedding vector from
+    a .npy file (AudioToTargetWithEmbeddingDataset :1015-1121 via
+    `embedding_key`)."""
 
     def __init__(
         self,
@@ -262,6 +264,7 @@ class AudioToTargetDataset:
         input_key: str = "input_filepath",
         target_key: str = "target_filepath",
         reference_key: Optional[str] = None,
+        embedding_key: Optional[str] = None,
         audio_duration: Optional[float] = None,
         min_duration: Optional[float] = None,
         max_duration: Optional[float] = None,
@@ -275,6 +278,7 @@ class AudioToTargetDataset:
         self.input_key = input_key
         self.target_key = target_key
         self.reference_key = reference_key
+        self.embedding_key = embedding_key
         self.audio_duration = audio_duration
         self.audio_multiple = audio_multiple
         self._rng = np.random.default_rng(seed)
@@ -309,6 +313,10 @@ class AudioToTargetDataset:
         }
         if self.reference_key is not None:
             item["reference_signal"] = self._load(e[self.reference_key])
+        if self.embedding_key is not None:
+            item["embedding_vector"] = np.load(e[self.embedding_key]).astype(
+                np.float32
+            )
         return item
 
     def collate(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
@@ -330,6 +338,15 @@ class AudioToTargetDataset:
             for j, it in enumerate(items):
                 ref[j, : len(it["reference_signal"])] = it["reference_signal"]
             out["reference_signal"] = ref
+        if self.embedding_key is not None and "embedding_vector" in items[0]:
+            d = max(len(i["embedding_vector"]) for i in items)
+            emb = np.zeros((b, d), np.float32)
+            lens = np.zeros((b,), np.int32)
+            for j, it in enumerate(items):
+                emb[j, : len(it["embedding_vector"])] = it["embedding_vector"]
+                lens[j] = len(it["embedding_vector"])
+            out["embedding_vector"] = emb
+            out["embedding_len"] = lens
         return out
 
 

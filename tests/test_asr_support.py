@@ -363,6 +363,46 @@ class TestASRDatasets:
         assert batch["input_signal"].shape == batch["target_signal"].shape
         assert batch["input_signal"].shape[1] % 512 == 0
 
+    def test_audio_to_target_with_embedding(self, tmp_path):
+        """embedding_key loads a per-item .npy vector and collates to
+        [B, D] + lengths (ref AudioToTargetWithEmbeddingDataset
+        audio_to_audio.py:1015-1121); builders dispatch all 3 variants."""
+        def extra(i):
+            tgt = tmp_path / f"t{i}.wav"
+            write_wav(tgt, freq=100)
+            emb = tmp_path / f"e{i}.npy"
+            np.save(emb, np.full(8 + i, float(i), np.float32))
+            return {"input_filepath": str(tmp_path / f"u{i}.wav"),
+                    "target_filepath": str(tgt),
+                    "reference_filepath": str(tgt),
+                    "embedding_filepath": str(emb)}
+
+        mf = self.make_manifest(tmp_path, extra=extra)
+        ds = AudioToTargetDataset(
+            str(mf), sample_rate=16000, embedding_key="embedding_filepath",
+            audio_duration=0.1, audio_multiple=512,
+        )
+        item = ds[1]
+        assert item["embedding_vector"].shape == (9,)
+        batch = ds.collate([ds[i] for i in range(3)])
+        assert batch["embedding_vector"].shape == (3, 10)  # padded to max D
+        assert batch["embedding_len"].tolist() == [8, 9, 10]
+        assert batch["embedding_vector"][2, 9] == 2.0
+
+        from roar_tpu.data.asr_builders import (
+            get_audio_to_target_dataset,
+            get_audio_to_target_with_embedding_dataset,
+            get_audio_to_target_with_reference_dataset,
+        )
+
+        cfg = {"manifest_filepath": str(mf), "sample_rate": 16000,
+               "audio_duration": 0.1, "audio_multiple": 512}
+        assert get_audio_to_target_dataset(cfg).embedding_key is None
+        ref_ds = get_audio_to_target_with_reference_dataset(cfg)
+        assert "reference_signal" in ref_ds[0]
+        emb_ds = get_audio_to_target_with_embedding_dataset(cfg)
+        assert emb_ds[0]["embedding_vector"].shape == (8,)
+
 
 if __name__ == "__main__":
     import sys
