@@ -34,6 +34,7 @@ from roar_tpu.training.gan import (
     create_gan_state,
     make_gan_train_step,
     make_shared_forward_gan_step,
+    maybe_remat_disc,
 )
 
 
@@ -127,17 +128,24 @@ class HifiGanModel:
         return mel
 
     def _disc_all(self, d_params, d_stats, y, y_hat, update_stats: bool):
-        mpd_out = self.mpd.apply({"params": d_params["params"]["mpd"]}, y, y_hat)
-        msd_vars = {"params": d_params["params"]["msd"], "batch_stats": d_stats["msd"]}
-        if update_stats:
-            msd_out, new_msd = self.msd.apply(
-                msd_vars, y, y_hat, update_stats=True, mutable=["batch_stats"]
-            )
-            new_stats = {"msd": new_msd["batch_stats"]}
-        else:
-            msd_out = self.msd.apply(msd_vars, y, y_hat, update_stats=False)
-            new_stats = d_stats
-        return mpd_out, msd_out, new_stats
+        @maybe_remat_disc
+        def run(d_params, d_stats, y, y_hat):
+            mpd_out = self.mpd.apply({"params": d_params["params"]["mpd"]}, y, y_hat)
+            msd_vars = {
+                "params": d_params["params"]["msd"],
+                "batch_stats": d_stats["msd"],
+            }
+            if update_stats:
+                msd_out, new_msd = self.msd.apply(
+                    msd_vars, y, y_hat, update_stats=True, mutable=["batch_stats"]
+                )
+                new_stats = {"msd": new_msd["batch_stats"]}
+            else:
+                msd_out = self.msd.apply(msd_vars, y, y_hat, update_stats=False)
+                new_stats = d_stats
+            return mpd_out, msd_out, new_stats
+
+        return run(d_params, d_stats, y, y_hat)
 
     # ------------------------------------------------------------------
     def forward_split(self, g_params, batch, rng, epoch):

@@ -11,12 +11,29 @@ a mutable collection in the state.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+
+
+def maybe_remat_disc(fn: Callable) -> Callable:
+    """Optionally rematerialize the discriminator forward in backward.
+
+    The GAN steps are HBM-bound (DESIGN.md §7d): the MPD/MSD conv feature
+    maps saved as autodiff residuals dominate activation bytes.
+    `ROAR_REMAT_DISC=1` wraps the joint discriminator apply in
+    `jax.checkpoint`, trading a recomputed forward (FLOPs are plentiful at
+    ~21% MFU) for not writing/reading those residuals — the classic
+    bytes-for-FLOPs swap on a bandwidth-bound step.  Off by default; the
+    measured A/B lives in DESIGN.md §7f.
+    """
+    if os.environ.get("ROAR_REMAT_DISC", "0") not in ("", "0", "false", "False"):
+        return jax.checkpoint(fn)
+    return fn
 
 
 class GANTrainState(struct.PyTreeNode):

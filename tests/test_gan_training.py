@@ -152,3 +152,38 @@ def test_convert_spectrogram_to_audio(hifigan_setup):
     mel = jnp.zeros((1, 10, 32))
     audio = model.convert_spectrogram_to_audio(g_params, mel)
     assert audio.shape == (1, 10 * model.generator.upsample_factor)
+
+
+def test_remat_disc_step_matches_default(hifigan_setup, monkeypatch):
+    """ROAR_REMAT_DISC=1 (jax.checkpoint around the joint MPD+MSD apply,
+    training/gan.py maybe_remat_disc) replays the same ops in backward —
+    losses, post-step params, and spectral-norm stats must match the
+    default step."""
+    model, batch = hifigan_setup
+    g_opt = build_optimizer({"name": "sgd", "lr": 1e-3})
+    d_opt = build_optimizer({"name": "sgd", "lr": 1e-3})
+
+    results = {}
+    for remat in ("0", "1"):
+        monkeypatch.setenv("ROAR_REMAT_DISC", remat)
+        state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+        step = model.make_train_step(g_opt, d_opt)
+        rng = jax.random.PRNGKey(1)
+        for _ in range(2):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub, 0)
+        results[remat] = (
+            jax.device_get(state.g_params),
+            jax.device_get(state.d_params),
+            jax.device_get(state.d_stats),
+            {k: float(v) for k, v in metrics.items()},
+        )
+
+    (gp0, dp0, ds0, m0), (gp1, dp1, ds1, m1) = results["0"], results["1"]
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-4, atol=1e-6, err_msg=k)
+    for tree0, tree1 in ((gp0, gp1), (dp0, dp1), (ds0, ds1)):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tree0), jax.tree_util.tree_leaves(tree1)
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
