@@ -43,6 +43,56 @@ def data_parallel_mesh(devices=None) -> Mesh:
     return make_mesh(model=1, devices=devices)
 
 
+def make_hybrid_mesh(
+    num_slices: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """('data', 'model') mesh over a multi-slice (DCN-connected) topology.
+
+    Multi-slice TPU jobs see every chip in `jax.devices()`, but only chips
+    within a slice share ICI; slices talk over the much slower DCN.  The
+    scaling recipe (SURVEY.md §5.8): keep the model axis inside a slice and
+    order the data axis slice-major, so XLA lowers the gradient all-reduce
+    hierarchically — reduce-scatter over ICI within each slice, a small
+    all-reduce over DCN between slice peers, all-gather back over ICI.
+    The returned mesh keeps the same ('data', 'model') axis names as
+    `make_mesh`, so every downstream `P('data')` sharding and TP rule is
+    unchanged; only the device order differs.
+
+    num_slices=None autodetects from `device.slice_index` (present on
+    multi-slice TPU backends); on a single slice this degrades to
+    `make_mesh` exactly.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if num_slices is None:
+        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+        num_slices = len(slice_ids)
+    if num_slices <= 1:
+        return make_mesh(model=model, devices=devices)
+    if n % num_slices != 0:
+        raise ValueError(f"{n} devices not divisible by {num_slices} slices")
+    per_slice = n // num_slices
+    if per_slice % model != 0:
+        raise ValueError(
+            f"model={model} must fit inside one slice ({per_slice} devices); "
+            "a model axis spanning DCN would put tensor-parallel collectives "
+            "on the slow cross-slice links"
+        )
+    if all(hasattr(d, "slice_index") for d in devices):
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (per_slice // model, model), (num_slices, 1), devices
+        )
+    else:
+        # emulation path (CPU tests): contiguous blocks of n/num_slices
+        # devices stand in for slices; slice-major data ordering
+        grid = np.asarray(devices).reshape(num_slices * (per_slice // model), model)
+    return Mesh(grid, ("data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across 'data'."""
     return NamedSharding(mesh, P("data"))

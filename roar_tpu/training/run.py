@@ -238,6 +238,18 @@ def _mesh_from_cfg(trainer_cfg: Dict[str, Any], batch_size: Optional[int] = None
             f"devices; using a {capped}-way data axis"
         )
         data_axis = capped
+    devices = jax.devices()[: data_axis * model_axis]
+    # multi-slice (DCN) topology: slice-major data ordering so the gradient
+    # all-reduce goes hierarchical (ICI reduce-scatter -> DCN -> ICI gather)
+    n_slices = len({getattr(d, "slice_index", 0) or 0 for d in devices})
+    if n_slices > 1:
+        from roar_tpu.parallel.mesh import make_hybrid_mesh
+
+        try:
+            return make_hybrid_mesh(num_slices=n_slices, model=model_axis,
+                                    devices=devices)
+        except ValueError as e:  # capped/uneven device subset: plain order
+            warnings.warn(f"hybrid (multi-slice) mesh unavailable: {e}")
     return make_mesh(data=data_axis, model=model_axis)
 
 

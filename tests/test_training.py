@@ -711,3 +711,40 @@ def test_tensor_parallel_numerical_equivalence_realistic_width():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
             err_msg=jax.tree_util.keystr(kp),
         )
+
+
+def test_hybrid_mesh_slice_major_ordering_and_step():
+    """Multi-slice (DCN) mesh: make_hybrid_mesh keeps the ('data','model')
+    axis names, orders the data axis slice-major (per-slice device blocks
+    contiguous, so XLA's gradient all-reduce lowers hierarchically:
+    ICI reduce-scatter -> small DCN all-reduce -> ICI all-gather), and a
+    P('data')-sharded computation over it matches the plain mesh exactly."""
+    from roar_tpu.parallel import make_hybrid_mesh, shard_batch
+
+    mesh = make_hybrid_mesh(num_slices=2, model=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+    # emulated slices are contiguous device blocks: slice 0 = devices 0..3
+    # must fill the first data rows (slice-major), never interleave
+    grid = np.asarray(mesh.devices)
+    row_slices = [min(d.id // 4 for d in row) for row in grid]
+    assert row_slices == sorted(row_slices), row_slices
+    for row in grid:  # the model axis never crosses a slice boundary
+        assert len({d.id // 4 for d in row}) == 1
+
+    # same math as the flat mesh: data-sharded mean-of-squares + psum-free
+    # jit (XLA inserts the collective), identical result on both meshes
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+
+    def run(m):
+        xs = shard_batch({"x": x}, m)["x"]
+        return float(jax.jit(lambda a: jnp.mean(a * a))(xs))
+
+    assert run(mesh) == run(make_mesh(data=4, model=2))
+
+    # single slice degrades to make_mesh; model axis may not span slices
+    flat = make_hybrid_mesh(num_slices=1, model=2)
+    assert np.asarray(flat.devices).shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(num_slices=2, model=8)
