@@ -179,6 +179,7 @@ class FastPitchModel:
             pitch_embedding_kernel_size=cfg.get("pitch_embedding_kernel_size", 3),
             energy_embedding_kernel_size=cfg.get("energy_embedding_kernel_size", 3),
             n_mel_channels=cfg.get("n_mel_channels", 80),
+            min_token_duration=cfg.get("min_token_duration", 0),
             max_token_duration=cfg.get("max_token_duration", 75),
             speaker_emb_condition_prosody=cfg.get("speaker_emb_condition_prosody", False),
             speaker_emb_condition_decoder=cfg.get("speaker_emb_condition_decoder", False),

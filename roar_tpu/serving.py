@@ -1,0 +1,355 @@
+"""TTS serving: bucketed synthesis engine, dynamic micro-batching, HTTP.
+
+Net-new capability (the reference ships no serving path; its closest
+surface is `FastPitchModel.generate_spectrogram` +
+`HifiGanModel.convert_spectrogram_to_audio`, models/fastpitch.py:370-393,
+models/hifigan.py:174-179, called by hand).  TPU-first design:
+
+- **Static shape buckets** bound the jit cache: token lengths round up to
+  `text_buckets`, request groups round up to `batch_buckets`, and each
+  (text_bucket, batch_bucket) pair is ONE compiled text->wav program
+  (FastPitch infer + HiFi-GAN generator fused under a single jit).  With
+  the persistent XLA compile cache, `warmup()` costs seconds on relaunch.
+- **Dynamic micro-batching**: concurrent requests coalesce for up to
+  `max_wait_ms` (or until `max_batch`) and ride one device program — the
+  standard accelerator-serving pattern; at RTF ~0.002 the added latency
+  is dominated by the wait window, which the operator tunes.
+- The HTTP layer is stdlib-only (`ThreadingHTTPServer`), binds loopback by
+  default, and speaks JSON in / WAV out.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import wave
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+class SynthesisEngine:
+    """Bucketed, jitted text->wav synthesis over FastPitch + a vocoder.
+
+    Args:
+      fastpitch: FastPitchModel (tokenizer + module).
+      fp_params: its parameter pytree.
+      vocoder: HifiGanModel (or any model exposing `.generator`).
+      voc_params: generator parameter pytree.
+      text_buckets: allowed padded token lengths (jit cache keys).
+      batch_buckets: allowed padded batch sizes.
+      frames_per_token: decoder mel budget per input token — sets the
+        static `max_mel_len` for each text bucket (rounded up to 16).
+      pace: duration-regulation pace (traced scalar: changing it per
+        request does NOT recompile).
+    """
+
+    def __init__(
+        self,
+        fastpitch,
+        fp_params,
+        vocoder,
+        voc_params,
+        text_buckets: Sequence[int] = (32, 64, 128, 256),
+        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        frames_per_token: int = 12,
+        pace: float = 1.0,
+    ):
+        import jax
+
+        self.fastpitch = fastpitch
+        self.fp_params = fp_params
+        self.vocoder = vocoder
+        self.voc_params = voc_params
+        self.text_buckets = tuple(sorted(text_buckets))
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.frames_per_token = int(frames_per_token)
+        self.default_pace = float(pace)
+        self.hop = vocoder.generator.upsample_factor
+        self.sample_rate = int(fastpitch.mel_cfg.sample_rate)
+        self.multispeaker = getattr(fastpitch.module, "n_speakers", 1) > 1
+        self._pad_id = fastpitch.tokenizer.pad if fastpitch.tokenizer else 0
+
+        fp_mod, voc_gen = fastpitch.module, vocoder.generator
+
+        def synth(fp_p, voc_p, tokens, speaker, pace, mel_cap):
+            out = fp_mod.apply(
+                fp_p,
+                tokens,
+                speaker=speaker,
+                pace=pace,
+                max_mel_len=mel_cap,
+                method=fp_mod.infer,
+            )
+            audio = voc_gen.apply(voc_p, out["spect"])
+            return audio, out["num_frames"]
+
+        self._synth = jax.jit(synth, static_argnums=(5,))
+
+    # -- shape bookkeeping ------------------------------------------------
+    def _text_bucket(self, n: int) -> int:
+        for b in self.text_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"text of {n} tokens exceeds the largest bucket "
+            f"{self.text_buckets[-1]}; raise text_buckets"
+        )
+
+    def _batch_bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
+    def _mel_cap(self, text_bucket: int) -> int:
+        return _round_up(text_bucket * self.frames_per_token, 16)
+
+    @property
+    def max_batch(self) -> int:
+        return self.batch_buckets[-1]
+
+    # -- synthesis --------------------------------------------------------
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        speakers: Optional[Sequence[Optional[int]]] = None,
+        pace: Optional[float] = None,
+    ) -> List[np.ndarray]:
+        """Synthesize a list of texts in one device program.
+
+        Returns one float32 waveform (trimmed to its predicted length) per
+        text, at `self.sample_rate`.
+        """
+        import jax.numpy as jnp
+
+        if not texts:
+            return []
+        if len(texts) > self.max_batch:
+            out: List[np.ndarray] = []
+            for i in range(0, len(texts), self.max_batch):
+                out.extend(
+                    self.synthesize_batch(
+                        texts[i : i + self.max_batch],
+                        speakers[i : i + self.max_batch] if speakers else None,
+                        pace,
+                    )
+                )
+            return out
+
+        token_rows = [self.fastpitch.parse(t)[0] for t in texts]
+        t_bucket = self._text_bucket(max(len(r) for r in token_rows))
+        b_bucket = self._batch_bucket(len(texts))
+        tokens = np.full((b_bucket, t_bucket), self._pad_id, np.int32)
+        for i, row in enumerate(token_rows):
+            tokens[i, : len(row)] = row
+        speaker = None
+        if self.multispeaker:
+            ids = [(speakers[i] if speakers else None) or 0 for i in range(len(texts))]
+            speaker = jnp.asarray(
+                np.pad(np.asarray(ids, np.int32), (0, b_bucket - len(ids)))
+            )
+        audio, n_frames = self._synth(
+            self.fp_params,
+            self.voc_params,
+            jnp.asarray(tokens),
+            speaker,
+            jnp.float32(self.default_pace if pace is None else pace),
+            self._mel_cap(t_bucket),
+        )
+        audio = np.asarray(audio, np.float32)
+        n_frames = np.asarray(n_frames)
+        return [
+            audio[i, : int(n_frames[i]) * self.hop] for i in range(len(texts))
+        ]
+
+    def warmup(self, batch_buckets: Optional[Sequence[int]] = None) -> int:
+        """Compile every (text_bucket, batch_bucket) program up front.
+        Returns the number of programs compiled."""
+        n = 0
+        for b in batch_buckets or self.batch_buckets:
+            for t in self.text_buckets:
+                texts = ["a" * max(1, t // 2)] * b
+                self.synthesize_batch(texts)
+                n += 1
+        return n
+
+    def to_wav_bytes(self, waveform: np.ndarray) -> bytes:
+        """float32 [-1, 1] -> 16-bit PCM WAV bytes."""
+        pcm = (np.clip(waveform, -1.0, 1.0) * 32767.0).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(self.sample_rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+
+def engine_from_bundles(
+    fastpitch_path: str, vocoder_path: str, **engine_kwargs
+) -> SynthesisEngine:
+    """Build a SynthesisEngine from two `.roar` bundles (training/save_restore
+    format): a trained FastPitch task and a trained HiFi-GAN vocoder task.
+    The vocoder bundle's params may be either the generator tree alone or
+    the full GAN state's `{'g_params': ..., 'd_params': ...}`."""
+    from roar_tpu.models.fastpitch_model import FastPitchModel
+    from roar_tpu.models.hifigan_model import HifiGanModel
+    from roar_tpu.training.save_restore import restore_from
+
+    fp_cfg, fp_params = restore_from(fastpitch_path)
+    voc_cfg, voc_params = restore_from(vocoder_path)
+    fp = FastPitchModel(fp_cfg.get("model", fp_cfg))
+    hg = HifiGanModel(voc_cfg.get("model", voc_cfg))
+    if isinstance(voc_params, dict) and "g_params" in voc_params:
+        voc_params = voc_params["g_params"]
+    return SynthesisEngine(fp, fp_params, hg, voc_params, **engine_kwargs)
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-text requests into engine batches.
+
+    A background worker takes the first queued request, then keeps
+    accepting more until `max_wait_ms` elapses or `max_batch` requests are
+    pending, and runs them as one `synthesize_batch` call.
+    """
+
+    def __init__(self, engine: SynthesisEngine, max_batch: Optional[int] = None,
+                 max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = min(max_batch or engine.max_batch, engine.max_batch)
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.batches_run = 0
+        self.requests_served = 0
+
+    def submit(self, text: str, speaker: Optional[int] = None,
+               pace: Optional[float] = None):
+        """Enqueue a request; returns an object whose .result(timeout)
+        yields the waveform (or raises the synthesis error)."""
+        import concurrent.futures
+
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        self._q.put((text, speaker, pace, fut))
+        return fut
+
+    def _run(self):
+        import time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            # pace is per-batch (traced scalar); requests with an explicit
+            # pace different from the group's first go back to the queue and
+            # form their own batch next round
+            pace = group[0][2]
+            same = [g for g in group if g[2] == pace]
+            defer = [g for g in group if g[2] != pace]
+            for d in defer:
+                self._q.put(d)
+            try:
+                waves = self.engine.synthesize_batch(
+                    [g[0] for g in same], [g[1] for g in same], pace
+                )
+                for (_, _, _, fut), w in zip(same, waves):
+                    fut.set_result(w)
+                self.batches_run += 1
+                self.requests_served += len(same)
+            except Exception as e:  # propagate to every waiter
+                for _, _, _, fut in same:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=2)
+
+
+def make_server(engine: SynthesisEngine, host: str = "127.0.0.1", port: int = 8000,
+                max_batch: Optional[int] = None, max_wait_ms: float = 5.0,
+                request_timeout_s: float = 60.0):
+    """Build (but do not start) a ThreadingHTTPServer serving:
+
+    - `POST /synthesize` with JSON `{"text": ..., "speaker": int?, "pace": float?}`
+      -> `audio/wav` (16-bit PCM at the model's sample rate)
+    - `GET /healthz` -> `{"status": "ok", ...counters}`
+
+    The returned server owns a DynamicBatcher (`server.batcher`); call
+    `server.shutdown()` + `server.batcher.close()` to stop.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = DynamicBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # route through roar logging, not stderr
+            pass
+
+        def _json(self, code: int, payload: Dict[str, Any]):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "sample_rate": engine.sample_rate,
+                    "batches_run": batcher.batches_run,
+                    "requests_served": batcher.requests_served,
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except Exception as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                wavf = batcher.submit(
+                    text, req.get("speaker"), req.get("pace")
+                ).result(timeout=request_timeout_s)
+                body = engine.to_wav_bytes(wavf)
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server

@@ -1,0 +1,173 @@
+"""Serving tests: bucketed SynthesisEngine, dynamic batcher, HTTP roundtrip.
+
+Net-new surface (the reference has no serving path); exercised end to end:
+tiny FastPitch + HiFi-GAN params -> engine -> batcher -> localhost HTTP
+server -> WAV bytes back.
+"""
+
+import json
+import threading
+import urllib.request
+import wave
+from io import BytesIO
+
+import numpy as np
+import pytest
+
+import jax
+
+from roar_tpu.models.fastpitch_model import FastPitchModel
+from roar_tpu.models.hifigan_model import HifiGanModel
+from roar_tpu.serving import DynamicBatcher, SynthesisEngine, make_server
+
+
+def _tiny_models():
+    d = 32
+    fp_cfg = {
+        "learn_alignment": True,
+        "n_mel_channels": 16,
+        # untrained params may predict 0 frames everywhere; a 1-frame floor
+        # keeps the smoke waveforms non-empty (knob exists in the reference
+        # module too, modules/fastpitch.py:168)
+        "min_token_duration": 1,
+        "symbols_embedding_dim": d,
+        "preprocessor": {
+            "sample_rate": 22050,
+            "features": 16,
+            "n_window_size": 512,
+            "n_window_stride": 128,
+            "n_fft": 512,
+            "lowfreq": 0,
+            "highfreq": 8000,
+            "dither": 0.0,
+            "pad_to": 1,
+        },
+        "text_tokenizer": {
+            "_target_": "roar_tpu.data.tokenizers.EnglishCharsTokenizer",
+            "pad_with_space": True,
+        },
+        "input_fft": {"n_layer": 1, "n_head": 1, "d_model": d, "d_head": 16, "d_inner": 48},
+        "output_fft": {"n_layer": 1, "n_head": 1, "d_model": d, "d_head": 16, "d_inner": 48},
+        "alignment_module": {"n_text_channels": d, "n_att_channels": 16},
+        "duration_predictor": {"input_size": d, "filter_size": 16},
+        "pitch_predictor": {"input_size": d, "filter_size": 16},
+    }
+    hg_cfg = {
+        "preprocessor": fp_cfg["preprocessor"],
+        "generator": {
+            "resblock": 2,
+            "upsample_rates": [8, 4, 4],
+            "upsample_kernel_sizes": [16, 8, 8],
+            "upsample_initial_channel": 24,
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "initial_input_size": 16,
+        },
+    }
+    fp = FastPitchModel(fp_cfg)
+    hg = HifiGanModel(hg_cfg)
+    import jax.numpy as jnp
+
+    tokens = jnp.ones((1, 16), jnp.int32)
+    fp_params = fp.module.init(
+        {"params": jax.random.PRNGKey(0)}, tokens, max_mel_len=32,
+        method=fp.module.infer,
+    )
+    voc_params = hg.generator.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 16), jnp.float32)
+    )
+    return fp, fp_params, hg, voc_params
+
+
+@pytest.fixture(scope="module")
+def engine():
+    fp, fp_params, hg, voc_params = _tiny_models()
+    return SynthesisEngine(
+        fp, fp_params, hg, voc_params,
+        text_buckets=(16, 32), batch_buckets=(1, 2, 4), frames_per_token=4,
+    )
+
+
+def test_engine_buckets_and_trimming(engine):
+    waves = engine.synthesize_batch(["hi there", "a much longer sentence here"])
+    assert len(waves) == 2
+    hop = engine.hop
+    for w in waves:
+        assert w.dtype == np.float32
+        assert w.ndim == 1 and w.size > 0
+        assert w.size % hop == 0  # trimmed to whole frames
+        assert np.isfinite(w).all()
+    # per-utterance trim: different texts give different lengths in general
+    cap = engine._mel_cap(32) * hop
+    assert all(w.size <= cap for w in waves)
+
+    # oversized group splits transparently into max_batch chunks
+    many = engine.synthesize_batch(["abc"] * 6)
+    assert len(many) == 6
+
+    with pytest.raises(ValueError):
+        engine.synthesize_batch(["x" * 200])  # exceeds largest text bucket
+
+
+def test_engine_wav_bytes(engine):
+    (w,) = engine.synthesize_batch(["hello"])
+    blob = engine.to_wav_bytes(w)
+    with wave.open(BytesIO(blob)) as f:
+        assert f.getframerate() == engine.sample_rate
+        assert f.getnchannels() == 1
+        assert f.getnframes() == w.size
+
+
+def test_dynamic_batcher_coalesces(engine):
+    batcher = DynamicBatcher(engine, max_batch=4, max_wait_ms=150.0)
+    try:
+        futs = [batcher.submit(f"utterance {i}") for i in range(4)]
+        waves = [f.result(timeout=120) for f in futs]
+        assert all(w.size > 0 for w in waves)
+        # all four requests coalesced into few device programs
+        assert batcher.requests_served == 4
+        assert batcher.batches_run <= 2
+    finally:
+        batcher.close()
+
+
+def test_http_server_roundtrip(engine):
+    server = make_server(engine, host="127.0.0.1", port=0, max_wait_ms=20.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["sample_rate"] == engine.sample_rate
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=json.dumps({"text": "hello world"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            blob = r.read()
+        with wave.open(BytesIO(blob)) as f:
+            assert f.getframerate() == engine.sample_rate
+            assert f.getnframes() > 0
+
+        # bad request -> 400, unknown path -> 404
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize", data=b"not json"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=30
+            )
+        assert e.value.code == 404
+    finally:
+        server.shutdown()
+        server.batcher.close()
