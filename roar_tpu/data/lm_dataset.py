@@ -393,3 +393,52 @@ class BertPretrainingFileLoader:
             for b in range(self.shard_rank, n_batches, self.num_shards):
                 idxs = range(b * self.batch_size, (b + 1) * self.batch_size)
                 yield ds.collate([ds[i] for i in idxs])
+
+
+class CausalLMDataset:
+    """Packed next-token-prediction blocks for GPT pretraining.
+
+    The reference's GPT stack (nlp/modules/gpt/gpt.py, the unchecked
+    "TinyLLaMa" README ToDo) ships with no data layer or training entry
+    point; this is the standard packed causal-LM dataset that stack
+    implies: the corpus is tokenized once, documents (lines) joined with
+    the tokenizer's EOS id, the id stream cut into contiguous
+    non-overlapping windows of ``seq_length + 1``, and item ``i`` yields
+    ``input_ids = window[:-1]``, ``labels = window[1:]``.  Packing means
+    no padding: every position carries a real next-token target, so the
+    loss needs no mask and every MXU cycle trains.
+    """
+
+    def __init__(self, tokenizer, corpus_file: str, seq_length: int = 512):
+        self.tokenizer = tokenizer
+        self.seq_length = int(seq_length)
+        ids: List[int] = []
+        eos = getattr(tokenizer, "eos_id", None)
+        with open(corpus_file, "r", encoding="utf-8", errors="ignore") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                ids.extend(tokenizer.text_to_ids(line))
+                if eos is not None:
+                    ids.append(eos)
+        self.data = np.asarray(ids, np.int32)
+        self.n_blocks = max(0, (len(self.data) - 1) // self.seq_length)
+        if self.n_blocks == 0:
+            raise ValueError(
+                f"corpus {corpus_file} has only {len(self.data)} tokens — "
+                f"fewer than one {self.seq_length}-token block"
+            )
+        # every packed block is exactly seq_length tokens (sampler protocol)
+        self.lengths = [float(self.seq_length)] * self.n_blocks
+
+    def __len__(self) -> int:
+        return self.n_blocks
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        start = idx * self.seq_length
+        window = self.data[start : start + self.seq_length + 1]
+        return {"input_ids": window[:-1], "labels": window[1:]}
+
+    @staticmethod
+    def collate(items, buckets=None):
+        return {k: np.stack([i[k] for i in items]) for k in items[0]}

@@ -179,3 +179,72 @@ def test_bert_pretraining_model_trains(corpus):
     assert np.isfinite(loss0) and np.isfinite(loss1)
     assert float(loss1) < float(loss0)
     assert set(m) >= {"loss", "mlm_loss", "nsp_loss", "nsp_acc"}
+
+
+def test_causal_lm_dataset_packing(corpus):
+    from roar_tpu.data.lm_dataset import CausalLMDataset
+
+    tok = SimpleWordTokenizer([corpus])
+    L = 16
+    ds = CausalLMDataset(tok, corpus, seq_length=L)
+    assert len(ds) >= 1
+    # every block: labels are inputs shifted by one over the packed stream
+    stream = ds.data
+    for i in (0, len(ds) - 1):
+        item = ds[i]
+        assert item["input_ids"].shape == (L,) and item["labels"].shape == (L,)
+        np.testing.assert_array_equal(item["input_ids"], stream[i * L : i * L + L])
+        np.testing.assert_array_equal(item["labels"], stream[i * L + 1 : i * L + L + 1])
+    # consecutive blocks tile the stream with no gaps or overlaps
+    np.testing.assert_array_equal(ds[1]["input_ids"][0], ds[0]["labels"][-1])
+    # documents are EOS-joined
+    assert (stream == tok.eos_id).sum() >= 200
+    batch = ds.collate([ds[i] for i in range(3)])
+    assert batch["input_ids"].shape == (3, L)
+
+    with pytest.raises(ValueError):
+        CausalLMDataset(tok, corpus, seq_length=10**7)
+
+
+def test_gpt_lm_model_trains(corpus):
+    import jax
+
+    from roar_tpu.data.lm_dataset import CausalLMDataset
+    from roar_tpu.models.gpt_model import GPTLMModel
+
+    tok = SimpleWordTokenizer([corpus])
+    ds = CausalLMDataset(tok, corpus, seq_length=16)
+    model = GPTLMModel({
+        "vocab_size": tok.vocab_size, "block_size": 16, "n_layer": 1,
+        "n_head": 2, "n_embd": 32, "n_query_groups": 1,
+        "intermediate_size": 64,
+    })
+    batch = ds.collate([ds[i] for i in range(4)])
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def step(params, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: model.loss_fn(p, batch), has_aux=True
+        )(params)
+        params = jax.tree.map(lambda p, g: p - 1e-2 * g, params, grads)
+        return params, loss, metrics
+
+    params, loss0, m = step(params, batch)
+    for _ in range(3):
+        params, loss1, m = step(params, batch)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert float(loss1) < float(loss0)
+    assert set(m) >= {"loss", "ppl", "token_acc"}
+
+    # loss_mask zeroes masked positions out of the objective
+    masked = dict(batch)
+    masked["loss_mask"] = np.zeros_like(batch["labels"])
+    masked["loss_mask"][:, :8] = 1
+    loss_m, _ = model.loss_fn(params, masked)
+    assert np.isfinite(float(loss_m))
+
+    # registry entry + overrides path
+    reg = GPTLMModel({"config_name": "tiny-llama-1.1b", "n_layer": 1,
+                      "vocab_size": 64, "block_size": 16})
+    assert reg.config.n_layer == 1 and reg.config.vocab_size == 64
