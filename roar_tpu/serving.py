@@ -79,6 +79,8 @@ class SynthesisEngine:
         fp_mod, voc_gen = fastpitch.module, vocoder.generator
 
         def synth(fp_p, voc_p, tokens, speaker, pace, mel_cap):
+            import jax.numpy as jnp
+
             out = fp_mod.apply(
                 fp_p,
                 tokens,
@@ -88,7 +90,14 @@ class SynthesisEngine:
                 method=fp_mod.infer,
             )
             audio = voc_gen.apply(voc_p, out["spect"])
-            return audio, out["num_frames"]
+            # 16-bit PCM ON DEVICE: the host->serving transfer is the
+            # latency floor (over a tunneled chip, moving the fp32 padded
+            # batch measured 1186 ms vs 51 ms as int16 — 23x), and WAV
+            # output is 16-bit anyway
+            pcm = jnp.round(
+                jnp.clip(audio.astype(jnp.float32), -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+            return pcm, out["num_frames"]
 
         self._synth = jax.jit(synth, static_argnums=(5,))
 
@@ -124,8 +133,10 @@ class SynthesisEngine:
     ) -> List[np.ndarray]:
         """Synthesize a list of texts in one device program.
 
-        Returns one float32 waveform (trimmed to its predicted length) per
-        text, at `self.sample_rate`.
+        Returns one int16 PCM waveform (trimmed to its predicted length)
+        per text, at `self.sample_rate`.  The int16 conversion happens on
+        device: halving the transferred bytes is the serving-latency lever
+        (see `_synth`), and WAV output is 16-bit regardless.
         """
         import jax.numpy as jnp
 
@@ -163,8 +174,10 @@ class SynthesisEngine:
             jnp.float32(self.default_pace if pace is None else pace),
             self._mel_cap(t_bucket),
         )
-        audio = np.asarray(audio, np.float32)
-        n_frames = np.asarray(n_frames)
+        # transfer ONLY the live rows (device-side slice): padded batch rows
+        # are pure transfer waste, and transfer is the serving latency floor
+        n_frames = np.asarray(n_frames[: len(texts)])
+        audio = np.asarray(audio[: len(texts)])
         return [
             audio[i, : int(n_frames[i]) * self.hop] for i in range(len(texts))
         ]
@@ -181,8 +194,11 @@ class SynthesisEngine:
         return n
 
     def to_wav_bytes(self, waveform: np.ndarray) -> bytes:
-        """float32 [-1, 1] -> 16-bit PCM WAV bytes."""
-        pcm = (np.clip(waveform, -1.0, 1.0) * 32767.0).astype("<i2")
+        """int16 PCM (engine output) or float32 [-1, 1] -> WAV bytes."""
+        if waveform.dtype == np.int16:
+            pcm = waveform.astype("<i2", copy=False)
+        else:
+            pcm = (np.clip(waveform, -1.0, 1.0) * 32767.0).astype("<i2")
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
             w.setnchannels(1)

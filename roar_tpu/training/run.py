@@ -253,6 +253,53 @@ def _mesh_from_cfg(trainer_cfg: Dict[str, Any], batch_size: Optional[int] = None
     return make_mesh(data=data_axis, model=model_axis)
 
 
+def _yaml_safe(obj):
+    """Strip config values yaml.safe_dump cannot carry (callables injected
+    at run time, e.g. a text_normalizer hook) so the bundle config stays a
+    faithful, loadable record of everything declarable."""
+    if isinstance(obj, dict):
+        return {k: _yaml_safe(v) for k, v in obj.items() if not callable(v)}
+    if isinstance(obj, (list, tuple)):
+        return [_yaml_safe(v) for v in obj]
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    return str(obj)
+
+
+def _maybe_save_roar(cfg, exp, state, gan: bool = False) -> None:
+    """End-of-training `.roar` bundle, the reference RoarModelCheckpoint's
+    `always_save_roar` / save-on-train-end behavior
+    (roar/utils/callbacks/roar_model_checkpoint.py:19-250): one restorable
+    artifact holding the config and the final weights.  Enabled by
+    `exp_manager.always_save_roar` or
+    `exp_manager.checkpoint_callback_params.always_save_roar`.  GAN states
+    bundle `{'g_params', 'd_params', 'd_stats'}` so a vocoder bundle both
+    serves (serving.engine_from_bundles reads g_params) and fine-tunes."""
+    exp_cfg = cfg.get("exp_manager") or {}
+    ccp = exp_cfg.get("checkpoint_callback_params") or {}
+    if not (exp_cfg.get("always_save_roar") or ccp.get("always_save_roar")):
+        return
+    from roar_tpu.training.save_restore import save_to
+    from roar_tpu.utils.logging import get_logger
+
+    if jax.process_index() != 0:
+        return
+    name = exp_cfg.get("name") or cfg.get("name") or "model"
+    (exp.root / "checkpoints").mkdir(parents=True, exist_ok=True)
+    path = str(exp.root / "checkpoints" / f"{name}.roar")
+    if gan:
+        params = {
+            "g_params": jax.device_get(state.g_params),
+            "d_params": jax.device_get(state.d_params),
+        }
+        if state.d_stats is not None:
+            params["d_stats"] = jax.device_get(state.d_stats)
+    else:
+        params = jax.device_get(state.params)
+    save_to(path, _yaml_safe(cfg), params)
+    get_logger().info(f"saved end-of-training bundle: {path}")
+
+
 def _log_tts_artifacts(artifacts, model, state, val_dataset, epoch: int):
     """Synthesize one validation utterance and write plot/audio artifacts."""
     import numpy as np
@@ -436,6 +483,7 @@ def train_supervised(
         exp.save(state, metrics)
     profiler.close()
     exp.close()
+    _maybe_save_roar(cfg, exp, state)
     return state
 
 
@@ -595,6 +643,7 @@ def train_gan(
         if exp.should_stop() or reached_max_steps:
             break
     exp.close()
+    _maybe_save_roar(cfg, exp, state, gan=True)
     return state
 
 

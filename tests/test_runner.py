@@ -267,3 +267,43 @@ def test_run_test_evaluates_test_sets(corpus, tmp_path):
     assert np.isfinite(out["test_loss"])
     rec = json.loads((tmp_path / "test_metrics.jsonl").read_text().splitlines()[-1])
     assert rec["test_loss"] == out["test_loss"]
+
+
+def test_always_save_roar_bundle(tmp_path):
+    """exp_manager.always_save_roar writes an end-of-training .roar whose
+    cfg+weights roundtrip (ref RoarModelCheckpoint save-on-train-end,
+    roar_model_checkpoint.py:19-250); callables in cfg (a text_normalizer
+    hook) are stripped rather than crashing yaml."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from roar_tpu.training import ExpManager, restore_from
+    from roar_tpu.training.run import _maybe_save_roar
+
+    cfg = {
+        "name": "BundleTest",
+        "model": {"d_model": 8, "text_normalizer": lambda s: s},
+        "exp_manager": {"always_save_roar": True},
+    }
+    exp = ExpManager(exp_dir=str(tmp_path), name="BundleTest",
+                     use_tensorboard=False)
+    state = SimpleNamespace(params={"params": {"w": np.ones((2, 3), np.float32)}})
+    _maybe_save_roar(cfg, exp, state)
+    path = exp.root / "checkpoints" / "BundleTest.roar"
+    assert path.exists()
+    loaded_cfg, params = restore_from(str(path))
+    assert loaded_cfg["model"]["d_model"] == 8
+    assert "text_normalizer" not in loaded_cfg["model"]
+    np.testing.assert_array_equal(params["params"]["w"], np.ones((2, 3)))
+
+    # GAN variant bundles g/d params (+stats) for serving AND finetuning
+    gstate = SimpleNamespace(
+        g_params={"params": {"g": np.zeros(2, np.float32)}},
+        d_params={"params": {"d": np.ones(2, np.float32)}},
+        d_stats={"msd": {"u": np.ones(1, np.float32)}},
+    )
+    _maybe_save_roar(cfg, exp, gstate, gan=True)
+    _, gp = restore_from(str(path))
+    assert set(gp) == {"g_params", "d_params", "d_stats"}
+    exp.close()

@@ -93,10 +93,9 @@ def test_engine_buckets_and_trimming(engine):
     assert len(waves) == 2
     hop = engine.hop
     for w in waves:
-        assert w.dtype == np.float32
+        assert w.dtype == np.int16  # PCM conversion happens on device
         assert w.ndim == 1 and w.size > 0
         assert w.size % hop == 0  # trimmed to whole frames
-        assert np.isfinite(w).all()
     # per-utterance trim: different texts give different lengths in general
     cap = engine._mel_cap(32) * hop
     assert all(w.size <= cap for w in waves)
