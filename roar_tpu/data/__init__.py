@@ -10,6 +10,7 @@ from roar_tpu.data.audio_trimming import (  # noqa: F401
 from roar_tpu.data.dataset import (  # noqa: F401
     BucketSpec,
     MixerTTSXDataset,
+    PairedRealFakeSpectrogramsDataset,
     TTSDataset,
     VocoderDataset,
 )

@@ -371,6 +371,73 @@ class VocoderDataset:
         return out
 
 
+class PairedRealFakeSpectrogramsDataset:
+    """(predicted mel, ground-truth mel) pairs for the spectrogram enhancer
+    (ref dataset.py:1303-1342 PairedRealFakeSpectrogramsDataset).
+
+    Manifest lines carry ``mel_filepath`` (the degraded/GTA mel, e.g. from
+    scripts/dataset_processing/tts/generate_mels.py) and
+    ``mel_gt_filepath`` (the ground-truth mel, e.g. a sup-data cache
+    entry); both are ``[n_mel, T]`` .npy files.  Collate pads the time
+    axis to a bucket multiple (static jit shapes) and emits the enhancer
+    batch keys: ``input_spectrogram``/``target_spectrogram`` ``[B, n_mel,
+    T]`` + ``lengths``.
+    """
+
+    def __init__(self, manifest_filepath: str):
+        entries = read_manifest(manifest_filepath)
+        for e in entries:
+            if "mel_filepath" not in e or "mel_gt_filepath" not in e:
+                raise ValueError(
+                    "paired-spectrogram manifest entries need mel_filepath "
+                    f"AND mel_gt_filepath; got keys {sorted(e)}"
+                )
+        self.entries = entries
+        # sampler protocol: relative length ~ GT frame count (cheap probe
+        # of the .npy header, not the data)
+        self.lengths = [
+            float(np.load(e["mel_gt_filepath"], mmap_mode="r").shape[1])
+            for e in entries
+        ]
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        e = self.entries[idx]
+        fake = np.load(e["mel_filepath"]).astype(np.float32)  # [n_mel, T]
+        real = np.load(e["mel_gt_filepath"]).astype(np.float32)
+        t = min(fake.shape[1], real.shape[1])  # GTA off-by-one tolerance
+        return {
+            "input_spectrogram": fake[:, :t],
+            "target_spectrogram": real[:, :t],
+            "lengths": np.int32(t),
+        }
+
+    @staticmethod
+    def collate(
+        items: List[Dict[str, Any]], buckets: Optional[BucketSpec] = None
+    ) -> Dict[str, np.ndarray]:
+        b = len(items)
+        m = items[0]["input_spectrogram"].shape[0]
+        t = max(i["lengths"] for i in items)
+        if buckets is not None:
+            t = _round_up(int(t), buckets.mel_multiple)
+        fake = np.zeros((b, m, t), np.float32)
+        real = np.zeros((b, m, t), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for j, it in enumerate(items):
+            n = int(it["lengths"])
+            fake[j, :, :n] = it["input_spectrogram"]
+            real[j, :, :n] = it["target_spectrogram"]
+            lens[j] = n
+        return {
+            "input_spectrogram": fake,
+            "target_spectrogram": real,
+            "lengths": lens,
+        }
+
+
 class MixerTTSXDataset(TTSDataset):
     """TTSDataset + pretrained-LM token ids per utterance
     (dataset.py:1034-1141 MixerTTSXDataset): each normalized text is also

@@ -506,3 +506,37 @@ def test_batch_iterator_prefetch_matches_sync():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(batch_iterator(BoomDataset(), sampler, num_workers=2))
+
+
+def test_paired_real_fake_spectrograms_dataset(tmp_path):
+    """ref PairedRealFakeSpectrogramsDataset (dataset.py:1303-1342): paired
+    mel .npy manifest -> enhancer batch keys, bucket-padded time axis,
+    off-by-one pair tolerance."""
+    import json
+
+    from roar_tpu.data import BucketSpec, PairedRealFakeSpectrogramsDataset
+
+    man = tmp_path / "pairs.json"
+    with man.open("w") as f:
+        for i, (tf_, tr) in enumerate([(50, 50), (71, 70)]):  # GTA off-by-one
+            fake = np.random.default_rng(i).standard_normal((16, tf_)).astype(np.float32)
+            real = np.random.default_rng(i + 9).standard_normal((16, tr)).astype(np.float32)
+            np.save(tmp_path / f"f{i}.npy", fake)
+            np.save(tmp_path / f"r{i}.npy", real)
+            f.write(json.dumps({"mel_filepath": str(tmp_path / f"f{i}.npy"),
+                                "mel_gt_filepath": str(tmp_path / f"r{i}.npy")}) + "\n")
+    ds = PairedRealFakeSpectrogramsDataset(str(man))
+    assert len(ds) == 2 and ds.lengths == [50.0, 70.0]
+    item = ds[1]
+    assert item["input_spectrogram"].shape == (16, 70)  # trimmed to min
+    batch = ds.collate([ds[0], ds[1]], BucketSpec(1, 32, 1))
+    assert batch["input_spectrogram"].shape == (2, 16, 96)  # padded to x32
+    assert batch["target_spectrogram"].shape == (2, 16, 96)
+    np.testing.assert_array_equal(batch["lengths"], [50, 70])
+    # padding is zero beyond each length
+    assert np.all(batch["input_spectrogram"][0, :, 50:] == 0)
+
+    with pytest.raises(ValueError):
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"mel_filepath": "x"}) + "\n")
+        PairedRealFakeSpectrogramsDataset(str(bad))
