@@ -182,6 +182,53 @@ class SynthesisEngine:
             audio[i, : int(n_frames[i]) * self.hop] for i in range(len(texts))
         ]
 
+    def synthesize_long(
+        self,
+        text: str,
+        speaker: Optional[int] = None,
+        pace: Optional[float] = None,
+        gap_ms: float = 0.0,
+    ) -> np.ndarray:
+        """Synthesize arbitrarily long text as one waveform.
+
+        The text is split at sentence punctuation (., !, ?, ;, the
+        devanagari danda ।, and newlines) into chunks that each fit the
+        largest text bucket, the chunks run as ONE batched device call
+        (they fill the batch buckets), and the waveforms concatenate with
+        `gap_ms` of silence between chunks.  FastPitch is
+        non-autoregressive, so chunks are independent — no state crosses
+        the boundary.
+        """
+        import re
+
+        limit = self.text_buckets[-1]
+        # token length ~ char length for the char tokenizers; validate per
+        # chunk with a real parse and fall back to hard splits if needed
+        pieces = [p.strip() for p in re.split(r"(?<=[.!?;।\n])\s*", text) if p.strip()]
+        chunks: List[str] = []
+        for piece in pieces or [text]:
+            while len(self.fastpitch.parse(piece)[0]) > limit:
+                # hard split at the last space under the limit
+                cut = piece.rfind(" ", 0, limit)
+                cut = cut if cut > 0 else limit
+                head, piece = piece[:cut].strip(), piece[cut:].strip()
+                if head:
+                    chunks.append(head)
+            if piece:
+                chunks.append(piece)
+        waves = self.synthesize_batch(
+            chunks, [speaker] * len(chunks) if speaker is not None else None, pace
+        )
+        if len(waves) == 1 and gap_ms <= 0:
+            return waves[0]
+        gap = np.zeros(int(self.sample_rate * gap_ms / 1e3), waves[0].dtype)
+        out: List[np.ndarray] = []
+        for i, w in enumerate(waves):
+            if i:
+                out.append(gap)
+            out.append(w)
+        return np.concatenate(out)
+
     def warmup(self, batch_buckets: Optional[Sequence[int]] = None) -> int:
         """Compile every (text_bucket, batch_bucket) program up front.
         Returns the number of programs compiled."""
@@ -353,9 +400,17 @@ def make_server(engine: SynthesisEngine, host: str = "127.0.0.1", port: int = 80
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                wavf = batcher.submit(
-                    text, req.get("speaker"), req.get("pace")
-                ).result(timeout=request_timeout_s)
+                if len(engine.fastpitch.parse(text)[0]) > engine.text_buckets[-1]:
+                    # long-form: sentence-split + one batched call, outside
+                    # the micro-batch queue (it would stall short requests)
+                    wavf = engine.synthesize_long(
+                        text, req.get("speaker"), req.get("pace"),
+                        gap_ms=float(req.get("gap_ms", 0.0)),
+                    )
+                else:
+                    wavf = batcher.submit(
+                        text, req.get("speaker"), req.get("pace")
+                    ).result(timeout=request_timeout_s)
                 body = engine.to_wav_bytes(wavf)
             except Exception as e:
                 self._json(500, {"error": str(e)})

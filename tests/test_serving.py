@@ -170,3 +170,34 @@ def test_http_server_roundtrip(engine):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_synthesize_long_splits_and_concatenates(engine):
+    # a text several times the largest bucket (32): sentence + hard splits
+    text = ("hello there. " * 4 + "a very long run on clause without any stops "
+            "that must be hard split somewhere ") .strip()
+    w = engine.synthesize_long(text, gap_ms=10.0)
+    assert w.dtype == np.int16 and w.ndim == 1
+    # at least as long as one chunk plus a gap
+    assert w.size > engine.sample_rate * 10 // 1000
+    # HTTP path: oversized text transparently takes the long-form branch
+    import json as _json
+    import threading as _threading
+    import urllib.request as _url
+
+    server = make_server(engine, host="127.0.0.1", port=0, max_wait_ms=5.0)
+    port = server.server_address[1]
+    _threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = _url.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=_json.dumps({"text": text, "gap_ms": 10.0}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with _url.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            blob = r.read()
+        assert len(blob) > 44
+    finally:
+        server.shutdown()
+        server.batcher.close()
