@@ -4,10 +4,12 @@ Lean re-design of roar/collections/asr/parts/utils/speaker_utils.py
 (the offline subset used by clustering-based diarization: uniq-id helpers
 :30-70, audio_rttm_map :72, RTTM read/write :340-404, stamp merging
 :287-325, interval algebra :676-870, subsegmentation :925-1012, cluster
-labels :423-452, embedding_normalize :1687).  The streaming/online
-machinery (OnlineSegmentor etc.) and the pyannote visualization hook are
-intentionally out of scope for the TTS-focused framework; a native DER
-scorer (`diarization_error_rate`) replaces the pyannote dependency.
+labels :423-452, embedding_normalize :1687) plus the streaming subset:
+`OnlineSegmentor` (:723 below, redesign of the reference's online
+segmentor) feeding the streaming diarization driver in
+examples/speaker_tasks/diarize.py.  The pyannote visualization hook is
+out of scope; a native DER scorer (`diarization_error_rate`) replaces
+the pyannote dependency.
 """
 
 from __future__ import annotations

@@ -368,10 +368,17 @@ def config_from_name(name: str, **overrides) -> GPTConfig:
     kwargs override fields, config.py:101-115)."""
     cfg = GPT_CONFIGS.get(name)
     if cfg is None:
+        # case-insensitive exact match (the reference resolves e.g. both
+        # "Gemma-2b" and "gemma-2b", config.py name= vs hf_config name)
+        lowered = {k.lower(): v for k, v in GPT_CONFIGS.items()}
+        cfg = lowered.get(name.lower())
+    if cfg is None:
         import fnmatch
 
         for key in GPT_CONFIGS:
-            if fnmatch.fnmatch(key, name):
+            if fnmatch.fnmatch(key, name) or fnmatch.fnmatch(
+                key.lower(), name.lower()
+            ):
                 cfg = GPT_CONFIGS[key]
                 break
         else:
