@@ -72,6 +72,16 @@ class GPTConfig:
     # KV-cache decode — including generate()'s cache-prefill call — and
     # nonzero pos_offset always use the einsum path.
     use_flash: bool = False
+    # Layer-stacked training: `scan_layers` compiles ONE Block and runs it
+    # under lax.scan with parameters stacked [n_layer, ...] (compile time
+    # and HLO size O(1) in depth); `remat` wraps each Block in
+    # jax.checkpoint so the backward recomputes block activations instead
+    # of storing them — together these are what lets tiny-llama-1.1b train
+    # at seq 4096 inside one v5e chip's HBM.  Training-path only: KV-cache
+    # decode keeps the unrolled h_{i} layout (use unstack_block_params to
+    # convert a scanned checkpoint for decode).
+    scan_layers: bool = False
+    remat: bool = False
 
     @property
     def head_size(self) -> int:
@@ -631,10 +641,40 @@ class GPT(nn.Module):
         if cfg.scale_embeddings:  # Gemma
             x = x * jnp.asarray(np.sqrt(cfg.n_embd), x.dtype)
         new_caches = []
-        for i in range(cfg.n_layer):
-            cache_i = kv_caches[i] if kv_caches is not None else None
-            x, nc = Block(cfg, name=f"h_{i}")(x, pos_offset, cache_i, mask)
-            new_caches.append(nc)
+        if cfg.scan_layers and kv_caches is None:
+            # one compiled Block under lax.scan, params stacked [n_layer,…];
+            # with cfg.remat the backward recomputes each block instead of
+            # storing its activations.  pos_offset stays a static argnum so
+            # the flash-eligibility check (isinstance int) survives remat.
+            block_cls = (
+                nn.remat(Block, static_argnums=(2,), prevent_cse=False)
+                if cfg.remat
+                else Block
+            )
+            blocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0, "intermediates": 0},
+                split_rngs={"params": True},
+                length=cfg.n_layer,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )(cfg, name="h_scan")
+            x, _ = blocks(x, pos_offset, None, mask)
+        else:
+            if cfg.scan_layers:
+                raise ValueError(
+                    "scan_layers is a training-path option; for KV-cache "
+                    "decode convert the checkpoint with unstack_block_params "
+                    "and use scan_layers=False"
+                )
+            block_cls = (
+                nn.remat(Block, static_argnums=(2,), prevent_cse=False)
+                if cfg.remat
+                else Block
+            )
+            for i in range(cfg.n_layer):
+                cache_i = kv_caches[i] if kv_caches is not None else None
+                x, nc = block_cls(cfg, name=f"h_{i}")(x, pos_offset, cache_i, mask)
+                new_caches.append(nc)
         x = _make_norm(cfg, "ln_f")(x)
         logits = nn.Dense(
             cfg.padded_vocab, use_bias=cfg.lm_head_bias, name="lm_head"
@@ -710,6 +750,26 @@ def stack_block_params(params, n_layer: int):
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
     rest = {k: v for k, v in p.items() if not k.startswith("h_")}
     return stacked, rest
+
+
+def scan_params_from_unrolled(params, n_layer: int):
+    """Unrolled (h_0..h_{L-1}) GPT param tree -> the `scan_layers=True`
+    layout (single `h_scan` subtree with leading n_layer dim per leaf)."""
+    stacked, rest = stack_block_params(params, n_layer)
+    out = dict(rest)
+    out["h_scan"] = stacked
+    return {"params": out} if "params" in params else out
+
+
+def unstack_block_params(params, n_layer: int):
+    """`scan_layers=True` (h_scan stacked) tree -> unrolled h_{i} tree, for
+    KV-cache decode with a scan-trained checkpoint."""
+    p = params["params"] if "params" in params else params
+    stacked = p["h_scan"]
+    out = {k: v for k, v in p.items() if k != "h_scan"}
+    for i in range(n_layer):
+        out[f"h_{i}"] = jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+    return {"params": out} if "params" in params else out
 
 
 def pipelined_gpt_apply(

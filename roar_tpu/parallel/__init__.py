@@ -10,6 +10,8 @@ from roar_tpu.parallel.mesh import (  # noqa: F401
 )
 from roar_tpu.parallel.tp import (  # noqa: F401
     FFT_TP_RULES,
+    GPT_TP_RULES,
+    VOCODER_TP_RULES,
     shard_params,
     tp_param_shardings,
 )
