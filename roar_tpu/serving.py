@@ -182,6 +182,27 @@ class SynthesisEngine:
             audio[i, : int(n_frames[i]) * self.hop] for i in range(len(texts))
         ]
 
+    def _split_text(self, text: str) -> List[str]:
+        """Sentence-split `text` into chunks that each fit the largest text
+        bucket: split at sentence punctuation (., !, ?, ;, the devanagari
+        danda ।, and newlines), then hard-split any oversized piece at the
+        last space under the limit (validated with a real parse)."""
+        import re
+
+        limit = self.text_buckets[-1]
+        pieces = [p.strip() for p in re.split(r"(?<=[.!?;।\n])\s*", text) if p.strip()]
+        chunks: List[str] = []
+        for piece in pieces or [text]:
+            while len(self.fastpitch.parse(piece)[0]) > limit:
+                cut = piece.rfind(" ", 0, limit)
+                cut = cut if cut > 0 else limit
+                head, piece = piece[:cut].strip(), piece[cut:].strip()
+                if head:
+                    chunks.append(head)
+            if piece:
+                chunks.append(piece)
+        return chunks
+
     def synthesize_long(
         self,
         text: str,
@@ -199,23 +220,7 @@ class SynthesisEngine:
         non-autoregressive, so chunks are independent — no state crosses
         the boundary.
         """
-        import re
-
-        limit = self.text_buckets[-1]
-        # token length ~ char length for the char tokenizers; validate per
-        # chunk with a real parse and fall back to hard splits if needed
-        pieces = [p.strip() for p in re.split(r"(?<=[.!?;।\n])\s*", text) if p.strip()]
-        chunks: List[str] = []
-        for piece in pieces or [text]:
-            while len(self.fastpitch.parse(piece)[0]) > limit:
-                # hard split at the last space under the limit
-                cut = piece.rfind(" ", 0, limit)
-                cut = cut if cut > 0 else limit
-                head, piece = piece[:cut].strip(), piece[cut:].strip()
-                if head:
-                    chunks.append(head)
-            if piece:
-                chunks.append(piece)
+        chunks = self._split_text(text)
         waves = self.synthesize_batch(
             chunks, [speaker] * len(chunks) if speaker is not None else None, pace
         )
@@ -229,6 +234,56 @@ class SynthesisEngine:
             out.append(w)
         return np.concatenate(out)
 
+    def synthesize_stream(
+        self,
+        text: str,
+        speaker: Optional[int] = None,
+        pace: Optional[float] = None,
+        xfade_ms: float = 8.0,
+    ):
+        """Yield int16 PCM chunks of `text` as each is synthesized.
+
+        Streaming counterpart of `synthesize_long`: time-to-first-audio is
+        one single-text device program (the FIRST sentence runs ALONE in
+        the smallest batch bucket) instead of the whole utterance.
+        Remaining sentences ride batched device calls of up to `max_batch`
+        while the consumer plays the first chunk.
+
+        Joins are overlap-added: the last `xfade_ms` of each chunk is held
+        back and raised-cosine crossfaded into the head of the next, so
+        chunk boundaries cannot click.  FastPitch is non-autoregressive —
+        no synthesis state crosses the boundary, only the fade tail.
+        """
+        chunks = self._split_text(text)
+        spk = [speaker] * 1 if speaker is not None else None
+        n_x = int(self.sample_rate * xfade_ms / 1e3)
+        fade_in = 0.5 - 0.5 * np.cos(
+            np.pi * (np.arange(1, n_x + 1) / (n_x + 1))
+        ) if n_x else np.zeros(0)
+
+        def waves():
+            yield self.synthesize_batch(chunks[:1], spk, pace)[0]
+            for i in range(1, len(chunks), self.max_batch):
+                group = chunks[i : i + self.max_batch]
+                yield from self.synthesize_batch(
+                    group, [speaker] * len(group) if speaker is not None else None,
+                    pace,
+                )
+
+        tail: Optional[np.ndarray] = None
+        last = len(chunks) - 1
+        for i, w in enumerate(waves()):
+            w = w.astype(np.float32)
+            if tail is not None:
+                k = min(len(tail), len(w))
+                head = w[:k] * fade_in[:k] + tail[:k] * (1.0 - fade_in[:k])
+                w = np.concatenate([head, tail[k:] * (1.0 - fade_in[k:]), w[k:]])
+            if i < last and len(w) > n_x:
+                w, tail = w[: len(w) - n_x], w[len(w) - n_x :]
+            else:
+                tail = None
+            yield np.clip(w, -32768, 32767).astype(np.int16)
+
     def warmup(self, batch_buckets: Optional[Sequence[int]] = None) -> int:
         """Compile every (text_bucket, batch_bucket) program up front.
         Returns the number of programs compiled."""
@@ -239,6 +294,19 @@ class SynthesisEngine:
                 self.synthesize_batch(texts)
                 n += 1
         return n
+
+    def wav_stream_header(self) -> bytes:
+        """WAV header for a stream of unknown length (RIFF/data sizes set
+        to 0xFFFFFFFF, the standard streaming convention): emit once, then
+        append raw little-endian int16 PCM chunks."""
+        import struct
+
+        return b"".join([
+            b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, self.sample_rate,
+                                 self.sample_rate * 2, 2, 16),
+            b"data", struct.pack("<I", 0xFFFFFFFF),
+        ])
 
     def to_wav_bytes(self, waveform: np.ndarray) -> bytes:
         """int16 PCM (engine output) or float32 [-1, 1] -> WAV bytes."""
@@ -356,6 +424,10 @@ def make_server(engine: SynthesisEngine, host: str = "127.0.0.1", port: int = 80
 
     - `POST /synthesize` with JSON `{"text": ..., "speaker": int?, "pace": float?}`
       -> `audio/wav` (16-bit PCM at the model's sample rate)
+    - `POST /synthesize` with `"stream": true` -> chunked-transfer
+      `audio/wav` (streaming header + one body chunk per synthesized
+      sentence chunk, crossfaded at joins): first audio arrives after ONE
+      single-sentence device program, not the whole utterance
     - `GET /healthz` -> `{"status": "ok", ...counters}`
 
     The returned server owns a DynamicBatcher (`server.batcher`); call
@@ -366,6 +438,8 @@ def make_server(engine: SynthesisEngine, host: str = "127.0.0.1", port: int = 80
     batcher = DynamicBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
+
         def log_message(self, *a):  # route through roar logging, not stderr
             pass
 
@@ -398,6 +472,30 @@ def make_server(engine: SynthesisEngine, host: str = "127.0.0.1", port: int = 80
                 text = req["text"]
             except Exception as e:
                 self._json(400, {"error": f"bad request: {e}"})
+                return
+            if req.get("stream"):
+                try:
+                    gen = engine.synthesize_stream(
+                        text, req.get("speaker"), req.get("pace"),
+                        xfade_ms=float(req.get("xfade_ms", 8.0)),
+                    )
+                    first = next(gen)  # synthesize before committing a 200
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(b: bytes):
+                    self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+                    self.wfile.flush()
+
+                chunk(engine.wav_stream_header() + first.astype("<i2").tobytes())
+                for w in gen:
+                    chunk(w.astype("<i2").tobytes())
+                self.wfile.write(b"0\r\n\r\n")
                 return
             try:
                 if len(engine.fastpitch.parse(text)[0]) > engine.text_buckets[-1]:

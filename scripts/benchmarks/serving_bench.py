@@ -98,6 +98,21 @@ def main():
     server.shutdown()
     server.batcher.close()
 
+    # --- streaming TTFA: long text, first chunk vs full synthesis ---------
+    long_text = ". ".join(["the quick brown fox jumps over the lazy dog"] * 6)
+    ttfa, full = [], []
+    for _ in range(5):
+        body = json.dumps({"text": long_text, "stream": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{args.port}/synthesize", data=body,
+            headers={"Content-Type": "application/json"})
+        t = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=120) as r:
+            r.read(44 + 2)  # WAV header + first PCM bytes of chunk 1
+            ttfa.append(time.perf_counter() - t)
+            r.read()  # drain the rest
+            full.append(time.perf_counter() - t)
+
     lat_ms = np.asarray(sorted(lat)) * 1e3
     print(json.dumps({
         "metric": "serving_latency_ms",
@@ -112,6 +127,9 @@ def main():
         "batches_run": server.batcher.batches_run,
         "warmup_programs": n_programs,
         "warmup_s": round(warmup_s, 1),
+        "stream_ttfa_ms": round(float(np.median(ttfa)) * 1e3, 1),
+        "stream_total_ms": round(float(np.median(full)) * 1e3, 1),
+        "stream_sentences": long_text.count(".") + 1,
     }))
 
 

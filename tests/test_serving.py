@@ -172,6 +172,52 @@ def test_http_server_roundtrip(engine):
         server.batcher.close()
 
 
+def test_synthesize_stream_chunks_and_crossfades(engine):
+    text = "hello there. how are you. fine thanks. good bye."
+    chunks = list(engine.synthesize_stream(text, xfade_ms=4.0))
+    assert len(chunks) == len(engine._split_text(text))
+    assert all(c.dtype == np.int16 and c.size > 0 for c in chunks)
+    # total length: each join holds back + blends one crossfade window, so
+    # the streamed total is n_joins * n_x shorter than plain concatenation
+    n_x = int(engine.sample_rate * 4.0 / 1e3)
+    waves = engine.synthesize_batch(engine._split_text(text))
+    plain = sum(w.size for w in waves)
+    assert sum(c.size for c in chunks) == plain - (len(chunks) - 1) * n_x
+
+    # single-chunk text streams as one chunk, no fade applied
+    (only,) = list(engine.synthesize_stream("hi"))
+    (ref,) = engine.synthesize_batch(["hi"])
+    np.testing.assert_array_equal(only, ref)
+
+
+def test_http_streaming_endpoint(engine):
+    server = make_server(engine, host="127.0.0.1", port=0, max_wait_ms=5.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=json.dumps(
+                {"text": "hello there. how are you. fine.", "stream": True}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            blob = r.read()  # urllib reassembles the chunked body
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        pcm = np.frombuffer(blob[44:], "<i2")
+        # matches the engine's own streamed audio end to end
+        direct = np.concatenate(
+            list(engine.synthesize_stream("hello there. how are you. fine."))
+        )
+        np.testing.assert_array_equal(pcm, direct)
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
 def test_synthesize_long_splits_and_concatenates(engine):
     # a text several times the largest bucket (32): sentence + hard splits
     text = ("hello there. " * 4 + "a very long run on clause without any stops "
