@@ -16,10 +16,18 @@ mean over the batch of (nll / target_length), with zero_infinity clamping.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30
+
+# Loop-unroll factor for the alpha-recursion scan — a measured WASH, kept
+# at 1 (unroll=8: ±1% on the full FastPitch step at b32/b64; the scans are
+# not the step's floor — per-phase attribution in DESIGN.md §7h).  Shared
+# knob with ops/mas.py for future A/Bs.
+_SCAN_UNROLL = int(os.environ.get("ROAR_ALIGN_SCAN_UNROLL", "1"))
 
 
 def _logaddexp3(a, b, c):
@@ -82,7 +90,10 @@ def ctc_forward_sum(
         return alpha, None
 
     ts = jnp.arange(1, t_query)
-    alpha, _ = jax.lax.scan(step, alpha0, (ts, jnp.swapaxes(log_probs[:, 1:], 0, 1)))
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (ts, jnp.swapaxes(log_probs[:, 1:], 0, 1)),
+        unroll=_SCAN_UNROLL,
+    )
 
     # Final states: last label (2*key_len - 1) and trailing blank (2*key_len).
     last_label = jnp.take_along_axis(alpha, (2 * key_lens - 1)[:, None], axis=1)[:, 0]

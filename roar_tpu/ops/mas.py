@@ -17,10 +17,19 @@ log_p[i-1, j-1] >= log_p[i-1, j].
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _NEG_INF = -1e30  # finite -inf stand-in: keeps max/compare well-defined in fp32
+
+# Loop-unroll factor for the DP/backtrack scans — a measured WASH, kept at
+# 1: unroll=8 gave 83.4 vs 82.5 ms (b32) and 144.6 vs 146.4 ms (b64) on the
+# full FastPitch step (bf16, v5e), i.e. the 864-step scans are not the
+# step's latency floor (per-phase attribution in DESIGN.md §7h).  Shared
+# knob with ops/forward_sum.py for future A/Bs.
+_SCAN_UNROLL = int(os.environ.get("ROAR_ALIGN_SCAN_UNROLL", "1"))
 
 
 def mas_width1(
@@ -58,7 +67,7 @@ def mas_width1(
         return cur, cur
 
     rows = jnp.swapaxes(la[:, 1:, :], 0, 1)  # [T_mel-1, B, T_text]
-    _, log_p_rest = jax.lax.scan(fwd_step, first, rows)
+    _, log_p_rest = jax.lax.scan(fwd_step, first, rows, unroll=_SCAN_UNROLL)
     log_p = jnp.concatenate([first[None], log_p_rest], axis=0)  # [T_mel, B, T_text]
 
     # Backtrack from i = t_mel-1 down to 1; rows >= mel_len are inactive and
@@ -79,7 +88,8 @@ def mas_width1(
 
     # Step k visits mel frame i = t_mel-1-k with log_p[i-1] as the lookup row.
     j_final, (onehots, actives) = jax.lax.scan(
-        bwd_step, j_init, (mel_idx[1:][::-1], log_p[:-1][::-1])
+        bwd_step, j_init, (mel_idx[1:][::-1], log_p[:-1][::-1]),
+        unroll=_SCAN_UNROLL,
     )
 
     # onehots[k] corresponds to mel frame i = t_mel-1-k; un-reverse.

@@ -262,15 +262,91 @@ def bench_gpt_decode(args):
     }))
 
 
+def bench_gpt_1b(args):
+    """tiny-llama-1.1b (the registry flagship) TRAINS on one chip:
+    scan-over-layers + per-block remat + Pallas flash + bf16 params/moments
+    + gradient accumulation over --accum microbatches of --batch x --seq
+    tokens (VERDICT r3 #2).  Reports tokens/s and two MFU numbers:
+    `mfu` from XLA cost_analysis (counts the remat recompute — hardware
+    FLOPs) and `mfu_model` from the standard 6*N*tokens + 12*L*d*S
+    attention term (model FLOPs — the comparable-across-frameworks one)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from roar_tpu.models.gpt import GPT, config_from_name
+    from roar_tpu.training.trainer import cast_floating
+
+    cfg = config_from_name(
+        "tiny-llama-1.1b", block_size=args.seq, scan_layers=True, remat=True,
+        use_flash=args.flash,
+    )
+    model = GPT(cfg)
+    B, S, K = args.batch, args.seq, args.accum
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (K, B, S)), jnp.int32)
+    tgts = jnp.asarray(rng.integers(0, cfg.vocab_size, (K, B, S)), jnp.int32)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), toks[0])
+    params = cast_floating(params, jnp.bfloat16)  # bf16 resident weights
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    opt = optax.adamw(3e-4, b1=0.9, b2=0.95, mu_dtype=jnp.bfloat16)
+    opt_state = jax.jit(opt.init)(params)
+
+    def loss_fn(p, tok, tgt):
+        logits = model.apply(p, tok).astype(jnp.float32)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, toks, tgts):
+        def acc(g_sum, mb):
+            tok, tgt = mb
+            l, g = jax.value_and_grad(loss_fn)(params, tok, tgt)
+            return jax.tree_util.tree_map(jnp.add, g_sum, g), l
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        g_sum, losses = jax.lax.scan(acc, zeros, (toks, tgts))
+        g_mean = jax.tree_util.tree_map(lambda g: g / K, g_sum)
+        updates, opt_state = opt.update(g_mean, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, jnp.mean(losses)
+
+    params, opt_state, l = step(params, opt_state, toks, tgts)
+    float(l)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, opt_state, l = step(params, opt_state, toks, tgts)
+    float(l)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    tokens = K * B * S
+    model_flops = tokens * (6 * n_params + 12 * cfg.n_layer * cfg.n_embd * S)
+    rep = _mfu(step, dt, params, opt_state, toks, tgts)
+    from roar_tpu.utils.mfu import device_peaks
+    peak_flops, _ = device_peaks()
+    print(json.dumps({
+        "metric": "gpt_1b_train_step_ms", "value": round(dt * 1000, 1),
+        "unit": "ms/step", "model": "tiny-llama-1.1b", "params": n_params,
+        "batch": B, "seq": S, "accum": K, "flash": bool(args.flash),
+        "precision": "bf16", "tokens_per_sec": round(tokens / dt, 1),
+        "mfu_model": (round(model_flops / dt / peak_flops, 4)
+                      if peak_flops else None),
+        **rep,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fastpitch",
                    choices=["fastpitch", "hifigan", "jets", "jets_conformer",
-                            "gpt", "gpt_decode"])
+                            "gpt", "gpt_decode", "gpt_1b"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--text-len", type=int, default=128)
     p.add_argument("--mel-len", type=int, default=864)
     p.add_argument("--seq", type=int, default=4096, help="gpt: tokens per row")
+    p.add_argument("--accum", type=int, default=4,
+                   help="gpt_1b: grad-accumulation microbatches")
     p.add_argument("--flash", action="store_true", help="gpt: use_flash=True")
     p.add_argument("--precision", default="none", choices=["none", "bf16"])
     p.add_argument("--two-forward", action="store_true",
@@ -281,7 +357,12 @@ def main():
     _enable_compile_cache()
 
     if args.batch is None:
-        args.batch = 2 if args.model in ("gpt", "gpt_decode") else 32
+        args.batch = (
+            1 if args.model == "gpt_1b"
+            else 2 if args.model in ("gpt", "gpt_decode") else 32
+        )
+    if args.model == "gpt_1b":
+        return bench_gpt_1b(args)
     if args.model == "gpt_decode":
         return bench_gpt_decode(args)
     if args.model == "gpt":
