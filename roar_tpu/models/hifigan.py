@@ -30,12 +30,80 @@ from flax import linen as nn
 
 LRELU_SLOPE = 0.1
 
-# Toggle for the masked-dense grouped-conv lowering experiment (see
-# MaskedGroupedConv).  Native grouped convs are the measured default: the
-# dense lowering LOST 25% wall-clock end-to-end (DESIGN.md §7e).
-_DENSE_GROUPED = os.environ.get("ROAR_DENSE_GROUPED", "0") == "1"
+# Toggle for the masked-dense grouped-conv lowering (see MaskedGroupedConv).
+#   "0"   native grouped convs everywhere
+#   "g16" only the g=16 layers dense (the §7e A/B subset — measured LOSS:
+#         the g=4 conv stays grouped, so every layer boundary still pays a
+#         grouped<->dense relayout copy of the whole activation)
+#   "1"   ALL grouped layers dense: the whole discriminator keeps flat
+#         [B, W, C] activation layouts — no 8x-padded [B, W, G, C/G] tiles,
+#         no relayout copies (DESIGN.md §7g per-op attribution)
+_DENSE_GROUPED = os.environ.get("ROAR_DENSE_GROUPED", "0")
+
+# The production lowering for the MSD's grouped convs: the Pallas
+# channels-first kernel (ops/grouped_conv.py) — tap-packed contraction,
+# W on lanes, no 8x-padded [B, W, G, C/G] tiles, no relayout copies.
+#   "auto" (default)  on when running on TPU, off elsewhere (tests/CPU use
+#                     XLA's native conv; the kernel itself is pinned to it
+#                     by tests/test_grouped_conv.py in interpret mode)
+#   "1"               force on (off-TPU runs the interpreter — slow)
+#   "0"               force off (e.g. under model-parallel sharding of the
+#                     discriminator channels, where an opaque pallas_call
+#                     cannot be partitioned by XLA SPMD)
+_PALLAS_GROUPED = os.environ.get("ROAR_PALLAS_GROUPED", "auto")
 
 _normal_init = nn.initializers.normal(stddev=0.01)
+
+
+def _pallas_grouped_mode() -> Tuple[bool, bool]:
+    """(enabled, interpret) for the Pallas grouped-conv path."""
+    if _PALLAS_GROUPED == "0" or _DENSE_GROUPED != "0":
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if _PALLAS_GROUPED == "1":
+        return True, not on_tpu
+    return on_tpu, False
+
+
+class PallasGroupedConv(nn.Module):
+    """Grouped 1-D conv on CHANNELS-FIRST input via ops/grouped_conv.py.
+
+    Parameters are identical to ``nn.Conv`` (kernel [k, Cin/G, Cout], bias
+    [Cout]) so checkpoints, reference transplants and WeightNorm /
+    SpectralNorm wrappers are untouched by the lowering; only the
+    activation layout differs: x is [B, C, W] and so is the output.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...] = (1,)
+    feature_group_count: int = 1
+    padding: Any = None
+    kernel_init: Any = _normal_init
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_cf):
+        from roar_tpu.ops.grouped_conv import grouped_conv1d_cf
+
+        k = self.kernel_size[0]
+        g = self.feature_group_count
+        cin = x_cf.shape[1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, cin // g, self.features),
+            jnp.float32,
+        )
+        _, interpret = _pallas_grouped_mode()
+        y = grouped_conv1d_cf(
+            x_cf, kernel.astype(x_cf.dtype), self.strides[0],
+            self.padding[0][0], g, interpret,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)[None, :, None]
+        return y
 
 
 def _lrelu(x, slope=LRELU_SLOPE):
@@ -302,13 +370,35 @@ class DiscriminatorS(nn.Module):
         ]
         x = x[..., None]  # [B, S, 1]
         fmap = []
+        pallas_on, _ = _pallas_grouped_mode()
+        x_cf = None  # channels-first alias while inside the Pallas segment
         for i, (ch, k, s, g) in enumerate(specs):
-            # ROAR_DENSE_GROUPED=1 routes the grouped layers through the
-            # masked-dense lowering (same params, same math; measured
-            # slower end-to-end — see MaskedGroupedConv).  Conv names are
-            # pinned to the Conv_{i} sequence flax auto-assigns so both
-            # paths share checkpoints and reference transplants.
-            conv_cls = MaskedGroupedConv if (g > 4 and _DENSE_GROUPED) else nn.Conv
+            # Lowering choice per layer (same params, same math, all pinned
+            # by equivalence tests; conv names stay the Conv_{i} sequence
+            # flax auto-assigns so every path shares checkpoints and
+            # reference transplants):
+            #  - PallasGroupedConv: the production grouped path on TPU —
+            #    chains channels-first so the [B,W,C]<->grouped relayout
+            #    copies XLA's lowering inserts never exist (DESIGN.md §7g)
+            #  - MaskedGroupedConv: ROAR_DENSE_GROUPED A/B archive (§7e)
+            #  - nn.Conv: native XLA (default off-TPU)
+            from roar_tpu.ops.grouped_conv import pallas_grouped_conv_supported
+
+            cin = x.shape[-1] if x_cf is None else x_cf.shape[1]
+            win = x.shape[1] if x_cf is None else x_cf.shape[-1]
+            use_pallas = (
+                pallas_on and g > 1
+                and pallas_grouped_conv_supported(
+                    win, k, s, (k - 1) // 2, cin, ch, g)
+            )
+            use_dense = (_DENSE_GROUPED == "1" and g > 1) or (
+                _DENSE_GROUPED == "g16" and g > 4
+            )
+            conv_cls = (
+                PallasGroupedConv if use_pallas
+                else MaskedGroupedConv if use_dense
+                else nn.Conv
+            )
             conv = conv_cls(
                 ch,
                 (k,),
@@ -318,14 +408,28 @@ class DiscriminatorS(nn.Module):
                 kernel_init=_normal_init,
                 name=f"Conv_{i}",
             )
+            if use_pallas and x_cf is None:
+                x_cf = jnp.swapaxes(x, 1, 2)
+            if not use_pallas and x_cf is not None:
+                x, x_cf = jnp.swapaxes(x_cf, 1, 2), None
             layer = self._norm(conv, f"convs_{i}")
-            x = (
-                layer(x, update_stats=update_stats)
+            inp = x_cf if use_pallas else x
+            out = (
+                layer(inp, update_stats=update_stats)
                 if self.use_spectral_norm
-                else layer(x)
+                else layer(inp)
             )
-            x = _lrelu(x)
-            fmap.append(x)
+            out = _lrelu(out)
+            if use_pallas:
+                x_cf = out
+                # lazy transpose: feeds only the elementwise feature-match
+                # loss, where XLA fuses it into the reduction
+                fmap.append(jnp.swapaxes(out, 1, 2))
+            else:
+                x = out
+                fmap.append(out)
+        if x_cf is not None:
+            x, x_cf = jnp.swapaxes(x_cf, 1, 2), None
         post = nn.Conv(1, (3,), padding=[(1, 1)], name=f"Conv_{len(specs)}")
         layer = self._norm(post, "conv_post")
         x = layer(x, update_stats=update_stats) if self.use_spectral_norm else layer(x)

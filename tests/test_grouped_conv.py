@@ -1,0 +1,124 @@
+"""Pallas grouped-conv kernel vs lax.conv_general_dilated (fwd + both grads).
+
+The kernel (ops/grouped_conv.py) re-lowers the MSD discriminator's grouped
+convs channels-first with a tap-packed contraction; these tests pin its
+numerics — forward, dX, dW — to XLA's reference grouped conv across every
+stride/group/padding shape class the discriminator uses, plus ragged
+widths and non-centered padding.  Run in interpret mode off-TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roar_tpu.ops.grouped_conv import (
+    grouped_conv1d_cf,
+    pallas_grouped_conv_supported,
+)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def ref_conv_cf(x, w, s, pad, g):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(s,), padding=[(pad, pad)],
+        feature_group_count=g, dimension_numbers=("NCW", "WIO", "NCW"),
+    )
+
+
+SHAPES = [
+    # (B, W, cin, cout, k, s, g, pad)
+    (2, 64, 8, 8, 5, 1, 4, 2),      # stride-1, like conv5
+    (2, 64, 8, 16, 5, 2, 4, 2),     # stride-2, like conv1/conv2
+    (2, 64, 16, 16, 9, 4, 4, 4),    # stride-4, like conv3/conv4
+    (2, 64, 8, 8, 5, 1, 1, 2),      # g=1 degenerate
+    (2, 64, 8, 8, 5, 1, 4, 1),      # pad < (k-1)//2: out_w < W
+    (1, 66, 8, 8, 9, 1, 2, 4),      # non-power-of-two width
+    (3, 64, 8, 8, 41, 2, 4, 20),    # full 41-tap MSD kernel width
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES, ids=[str(s) for s in SHAPES])
+def test_forward_matches_lax(shape):
+    b, wid, cin, cout, k, s, g, pad = shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, cin, wid)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin // g, cout)) * 0.1,
+                    jnp.float32)
+    ref = ref_conv_cf(x, w, s, pad, g)
+    got = grouped_conv1d_cf(x, w, s, pad, g, INTERPRET)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:3] + SHAPES[4:],
+                         ids=[str(s) for s in SHAPES[:3] + SHAPES[4:]])
+def test_gradients_match_lax(shape):
+    b, wid, cin, cout, k, s, g, pad = shape
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, cin, wid)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin // g, cout)) * 0.1,
+                    jnp.float32)
+    out_w = (wid + 2 * pad - k) // s + 1
+    # non-uniform cotangent so tap/phase packing mistakes can't cancel
+    cot = jnp.asarray(
+        rng.standard_normal((b, cout, out_w)), jnp.float32)
+
+    def loss_ref(x, w):
+        return jnp.sum(ref_conv_cf(x, w, s, pad, g) * cot)
+
+    def loss_new(x, w):
+        return jnp.sum(grouped_conv1d_cf(x, w, s, pad, g, INTERPRET) * cot)
+
+    gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    gx_new, gw_new = jax.grad(loss_new, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_forward_close():
+    b, wid, cin, cout, k, s, g, pad = 2, 128, 16, 32, 41, 2, 4, 20
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, cin, wid)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, cin // g, cout)) * 0.1,
+                    jnp.bfloat16)
+    ref = ref_conv_cf(x.astype(jnp.float32), w.astype(jnp.float32), s, pad, g)
+    got = grouped_conv1d_cf(x, w, s, pad, g, INTERPRET).astype(jnp.float32)
+    # bf16 inputs, fp32 accumulation in both paths
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_unsupported_shapes_are_rejected():
+    # channels not divisible by groups
+    assert not pallas_grouped_conv_supported(64, 5, 1, 2, 9, 8, 4)
+    # width not divisible by stride
+    assert not pallas_grouped_conv_supported(63, 5, 2, 2, 8, 8, 4)
+    # padding beyond the fold (out_w > W/s)
+    assert not pallas_grouped_conv_supported(64, 5, 1, 4, 8, 8, 4)
+    # folded channel count below the sublane tile
+    assert not pallas_grouped_conv_supported(64, 5, 1, 2, 8, 8, 4)
+
+
+def test_all_msd_shapes_supported():
+    """Every grouped conv the MSD discriminator runs (all 3 scales of the
+    HiFi-GAN/JETS MSD stack, hifigan.py DiscriminatorS specs) must take the
+    Pallas path — the production win depends on the whole segment chaining
+    channels-first with no relayout boundary."""
+    specs = [  # (cin, cout, k, s, g) at scale-0 widths; scales halve W
+        (128, 128, 41, 2, 4),
+        (128, 256, 41, 2, 16),
+        (256, 512, 41, 4, 16),
+        (512, 1024, 41, 4, 16),
+        (1024, 1024, 41, 1, 16),
+    ]
+    for scale in (1, 2, 4):
+        w = 8192 // scale
+        for cin, cout, k, s, g in specs:
+            assert pallas_grouped_conv_supported(
+                w, k, s, (k - 1) // 2, cin, cout, g), (w, cin, cout, s, g)
+            w //= s

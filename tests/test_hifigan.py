@@ -133,3 +133,44 @@ def test_masked_grouped_conv_matches_native_grouped():
         # order of the fused output reduction
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_dense_grouped_toggle_model_level(monkeypatch):
+    """ROAR_DENSE_GROUPED reroutes DiscriminatorS's grouped convs through
+    the block-diagonal dense lowering at module scope.  Whatever the
+    toggle, params and outputs must be bit-compatible with the native
+    path — same param tree (checkpoints interchange) and identical
+    scores/fmaps for identical params."""
+    import roar_tpu.models.hifigan as hifigan_mod
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 256)) * 0.1, jnp.float32)
+
+    from roar_tpu.ops.grouped_conv import pallas_grouped_conv_supported
+
+    # channels sized so conv1 (g=4) takes the Pallas path while conv2+
+    # (g=16, folded channels below the sublane tile) fall back to native —
+    # exercising the channels-first enter/exit transposes too
+    assert pallas_grouped_conv_supported(256, 41, 2, 20, 32, 32, 4)
+
+    def build(mode, pallas="0"):
+        monkeypatch.setattr(hifigan_mod, "_DENSE_GROUPED", mode)
+        monkeypatch.setattr(hifigan_mod, "_PALLAS_GROUPED", pallas)
+        d = hifigan_mod.DiscriminatorS(conv_channels=(32, 32, 64, 64))
+        p = d.init(jax.random.PRNGKey(0), x)
+        score, fmap = d.apply(p, x)
+        return p, score, fmap
+
+    p_ref, score_ref, fmap_ref = build("0")
+    for mode, pallas in (("g16", "0"), ("1", "0"), ("0", "1")):
+        p, score, fmap = build(mode, pallas)
+        assert (jax.tree_util.tree_structure(p)
+                == jax.tree_util.tree_structure(p_ref))
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(p_ref)):
+            assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b in zip(fmap, fmap_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
