@@ -122,10 +122,11 @@ class MaskedGroupedConv(nn.Module):
     In isolation the dense conv does hit ~5x the grouped conv's TF/s, and
     its inflated FLOP count makes the *MFU column look better* (0.47 vs
     0.21).  End-to-end it is 25% SLOWER: 205 vs 164 ms/step on the full
-    HiFi-GAN GAN step (b32, 8192-sample segments, bf16, v5e) — the step is
-    HBM-bound, and materializing the G×-larger dense kernel plus its
-    gradient each step adds more bytes than the MXU utilisation saves.
-    Full writeup in DESIGN.md §7e.  Parameters stay in nn.Conv's grouped
+    HiFi-GAN GAN step (b32, 8192-sample segments, bf16, v5e) — 16x the
+    FLOPs through convs that are occupancy-bound either way cannot win
+    (the step streams only ~10% of achievable HBM bandwidth, §7g, so
+    the extra MXU passes are the cost, not the extra bytes).
+    Full writeup in DESIGN.md §7e; measured re-diagnosis in §7g.  Parameters stay in nn.Conv's grouped
     layout (kernel [K, Cin/G, Cout], bias [Cout]) so the toggle never
     touches checkpoints, transplants or WeightNorm/SpectralNorm wrappers.
     """

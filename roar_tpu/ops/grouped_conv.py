@@ -3,12 +3,13 @@
 Why this exists: XLA's native grouped-conv lowering keeps the activation in
 a ``[B, W, G, C/G]`` layout whose last axis (C/G = 8-64 here) sits on the
 128-wide lane dimension — every memory tile and every MXU pass is 2-16x
-padded, and each grouped<->flat boundary in the discriminator inserts a
-relayout copy of the whole activation (the per-op profile of the HiFi-GAN
-step attributes ~45% of the step to exactly this: DESIGN.md §7g).  The
-measured alternatives all lose or wash: block-diagonal dense pays G x the
-FLOPs (§7e), im2col materializes k x the bytes, space-to-depth only
-re-shuffles the same starved contraction.
+padded.  The per-op profile (DESIGN.md §7g) measures the native MSD
+grouped convs at ~7 TFLOP/s; this kernel reaches ~11 in-step and up to
+45 per-call on the widest shape, against a 12-50% MXU-occupancy
+architecture ceiling (per-group output channels O = 16-64 vs the
+128-row MXU).  The measured alternatives lose or wash: block-diagonal
+dense pays G x the FLOPs (§7e), im2col materializes k x the bytes,
+space-to-depth alone only re-shuffles the same starved contraction.
 
 This kernel fixes the layout instead: activations run channels-first
 ``[B, G, C/G, W]`` with the LONG W axis on lanes, and each group's k-tap
@@ -130,37 +131,87 @@ def _unpack_dw(dwp: jnp.ndarray, k: int, s: int, g: int, pad: int,
 # ---------------------------------------------------------------------------
 
 
-def _tile_w(out_w: int) -> Tuple[int, int]:
-    """(W_tile, padded_out_w): <=512-lane tiles; ragged widths round up and
-    the junk tail columns are sliced off (fwd) or fed zeros (dW)."""
-    wt = min(out_w, 512)
-    n_tiles = -(-out_w // wt)
-    return wt, n_tiles * wt
+def _tile_w(out_w: int) -> Tuple[int, int, int]:
+    """(W_tile, B_block, padded_out_w): every tile is a 128-lane multiple;
+    ragged widths round UP and the junk tail columns are sliced off (fwd)
+    or fed zeros (dW).  Short widths pack B_block batch items side by side
+    so the matmul N stays at 512 — without it the deep MSD layers
+    (out_w 33-257 at scales 1/2) degenerate into hundreds of tiny per-
+    (batch, group) programs whose launch + [O<=64, K]x[K, 65] matmuls
+    waste the MXU (measured: the scale-1/2 stack ran ~3x slower per byte
+    than scale 0).  The junk columns cost FLOPs (up to ~4x for out_w 33)
+    but replace per-program overhead — a measured win.  Batch packing's
+    lane offsets (b*WT) require WT 128-aligned; Mosaic only shifts
+    CONSTANT unaligned offsets, which is also why the tap loop in
+    _build_col is static."""
+    w128 = -(-out_w // 128) * 128
+    if w128 >= 512:
+        wt = 512
+        return wt, 1, -(-out_w // wt) * wt
+    return w128, 512 // w128, w128
 
 
-def _core_kernel(x_ref, w_ref, y_ref, acc_ref, *, T, SC, WT, N_TILES):
-    """Tap-accumulation grouped conv: per output tile, T static matmuls
-    w_t [O, SC] @ x[:, base+t : base+t+WT] into an fp32 accumulator.
+def _build_col(x_ref, col_ref, xb, cb, base, *, T, SC, WT):
+    """col[t*SC:(t+1)*SC, cb*WT:(cb+1)*WT] = x[xb, 0, :, base+t : base+t+WT].
 
-    No im2col scratch: each tap's operand is a direct (statically shifted)
-    VMEM view — Mosaic handles constant unaligned lane offsets itself,
-    while rejecting unproven dynamic ones (and its dynamic lane rotate is
-    32-bit-only, so the pyin-style roll idiom can't serve bf16).  The
-    measured col-building alternative lost: hundreds of tiny [SC, WT]
-    VMEM copies cost more than the MXU time they saved (DESIGN.md §7g).
-    """
+    The tap loop is a STATIC python loop: Mosaic rejects dynamic lane
+    offsets that are not provably 128-aligned (and its dynamic lane rotate
+    is 32-bit-only, so the pyin-style roll idiom can't serve bf16) — with
+    constant offsets it emits shifted loads itself.  A measured
+    alternative — tap-accumulation of T small [O,SC]x[SC,WT] matmuls with
+    no col scratch — LOST per shape (conv1 5.85 vs 4.45 ms, conv5 3.33 vs
+    2.16): the starved contractions cost more than these VMEM copies."""
+    for t in range(T):
+        col_ref[t * SC:(t + 1) * SC, cb * WT:(cb + 1) * WT] = (
+            x_ref[xb, 0, :, base + t:base + t + WT]
+        )
+
+
+def _dma_batch(b: int, bb_pack: int, sc: int, w_in: int,
+               itemsize: int) -> int:
+    """Batch items per grid program (a multiple of the packing factor).
+
+    The measured per-shape floor was NOT the matmul or the col build — a
+    timing probe with each disabled ran every MSD shape at the same
+    ~0.45 ms — it was per-program launch overhead on 128-512-program
+    grids.  Fewer, fatter programs amortize it: each program DMAs a
+    larger batch block and loops the pack/tile schedule internally,
+    bounded so the x block stays ~2 MB (double-buffered against y, col
+    and w inside ~16 MB VMEM)."""
+    budget = 2 * 2 ** 20
+    per_item = sc * w_in * itemsize
+    bb = (budget // max(per_item, 1)) // bb_pack * bb_pack
+    bb = max(bb_pack, min(bb, b))
+    while b % bb or bb % bb_pack:
+        bb -= 1
+    return max(bb, bb_pack)
+
+
+def _core_kernel(x_ref, w_ref, y_ref, col_ref, *,
+                 T, SC, WT, BB_PACK, BB_DMA, N_TILES):
     w = w_ref[0]  # [O, T*SC]
-    for tile in range(N_TILES):
-        base = tile * WT
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        for t in range(T):
-            acc_ref[:] += jax.lax.dot_general(
-                w[:, t * SC:(t + 1) * SC],
-                x_ref[0, 0, :, base + t:base + t + WT],
-                (((1,), (0,)), ((), ())),
+
+    # fori_loop (not an unrolled python loop) keeps Mosaic code size at
+    # tiles x taps whatever BB_DMA is; the batch index is dynamic only on
+    # the UNTILED leading dim, so every lane/sublane offset stays static.
+    def sub_body(sub, _):
+        b0 = sub * BB_PACK
+        for tile in range(N_TILES):
+            base = tile * WT
+            for b in range(BB_PACK):
+                _build_col(x_ref, col_ref, b0 + b, b, base,
+                           T=T, SC=SC, WT=WT)
+            y = jax.lax.dot_general(
+                w, col_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        y_ref[0, 0, :, base:base + WT] = acc_ref[:].astype(y_ref.dtype)
+            for b in range(BB_PACK):
+                y_ref[b0 + b, 0, :, base:base + WT] = (
+                    y[:, b * WT:(b + 1) * WT].astype(y_ref.dtype)
+                )
+        return 0
+
+    jax.lax.fori_loop(0, BB_DMA // BB_PACK, sub_body, 0)
 
 
 def _core(xp: jnp.ndarray, wp: jnp.ndarray, out_w: int,
@@ -170,24 +221,29 @@ def _core(xp: jnp.ndarray, wp: jnp.ndarray, out_w: int,
     b, g, sc, w_in = xp.shape
     _, o, kk = wp.shape
     t = kk // sc
-    wt, w_pad = _tile_w(out_w)
+    wt, bb, w_pad = _tile_w(out_w)
+    while b % bb:
+        bb //= 2
+    bb_dma = _dma_batch(b, bb, sc, w_in, xp.dtype.itemsize)
     assert w_in == w_pad + t - 1, (w_in, out_w, w_pad, t)
     kernel = functools.partial(
-        _core_kernel, T=t, SC=sc, WT=wt, N_TILES=w_pad // wt
+        _core_kernel, T=t, SC=sc, WT=wt, BB_PACK=bb, BB_DMA=bb_dma,
+        N_TILES=w_pad // wt,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, g, o, w_pad), xp.dtype),
-        grid=(b, g),
+        grid=(b // bb_dma, g),
         in_specs=[
-            pl.BlockSpec((1, 1, sc, w_in), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bb_dma, 1, sc, w_in), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, o, kk), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, o, w_pad), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((bb_dma, 1, o, w_pad),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((o, wt), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((kk, bb * wt), xp.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -195,26 +251,35 @@ def _core(xp: jnp.ndarray, wp: jnp.ndarray, out_w: int,
     )(xp, wp)
 
 
-def _dw_kernel(x_ref, dy_ref, dwp_ref, acc_ref, *, T, SC, WT, N_TILES, NB):
-    """Per group, accumulate dW over (batch, width): per tile and tap, one
-    [O, WT] x [SC, WT] lane-contraction -> [O, SC] slab of the packed
-    gradient.  dy's junk tail columns are zero-padded by the wrapper, so
-    ragged widths contribute nothing."""
+def _dw_kernel(x_ref, dy_ref, dwp_ref, col_ref, dyc_ref, acc_ref, *,
+               T, SC, WT, BB_PACK, BB_DMA, N_TILES, NB):
+    """Per group, accumulate dW over (batch, width) tiles:
+    [O, N] x [T*SC, N] lane-contraction -> the packed [O, T*SC] gradient.
+    dy's junk tail columns are zero-padded by the wrapper, so ragged
+    widths contribute nothing."""
     nb = pl.program_id(1)
 
     @pl.when(nb == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    for tile in range(N_TILES):
-        base = tile * WT
-        for t in range(T):
-            acc_ref[:, t * SC:(t + 1) * SC] += jax.lax.dot_general(
-                dy_ref[0, 0, :, base:base + WT],
-                x_ref[0, 0, :, base + t:base + t + WT],
-                (((1,), (1,)), ((), ())),
+    def sub_body(sub, _):
+        b0 = sub * BB_PACK
+        for tile in range(N_TILES):
+            base = tile * WT
+            for b in range(BB_PACK):
+                _build_col(x_ref, col_ref, b0 + b, b, base,
+                           T=T, SC=SC, WT=WT)
+                dyc_ref[:, b * WT:(b + 1) * WT] = (
+                    dy_ref[b0 + b, 0, :, base:base + WT]
+                )
+            acc_ref[:] += jax.lax.dot_general(
+                dyc_ref[:], col_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        return 0
+
+    jax.lax.fori_loop(0, BB_DMA // BB_PACK, sub_body, 0)
 
     @pl.when(nb == NB - 1)
     def _():
@@ -228,23 +293,31 @@ def _dw(xp: jnp.ndarray, dy: jnp.ndarray, t: int,
     b, g, sc, w_in = xp.shape
     _, _, o, w_pad = dy.shape
     assert w_in == w_pad + t - 1, (w_in, w_pad, t)
-    wt = min(w_pad, 512)
+    wt, bb, w_pad2 = _tile_w(w_pad)
+    assert w_pad2 == w_pad
+    while b % bb:
+        bb //= 2
+    bb_dma = _dma_batch(b, bb, sc, w_in, xp.dtype.itemsize)
+    nb = b // bb_dma
     kernel = functools.partial(
-        _dw_kernel, T=t, SC=sc, WT=wt, N_TILES=w_pad // wt, NB=b
+        _dw_kernel, T=t, SC=sc, WT=wt, BB_PACK=bb, BB_DMA=bb_dma,
+        N_TILES=w_pad // wt, NB=nb,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((g, o, t * sc), jnp.float32),
-        grid=(g, b),
+        grid=(g, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, sc, w_in), lambda j, i: (i, j, 0, 0),
+            pl.BlockSpec((bb_dma, 1, sc, w_in), lambda j, i: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, o, w_pad), lambda j, i: (i, j, 0, 0),
+            pl.BlockSpec((bb_dma, 1, o, w_pad), lambda j, i: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, o, t * sc), lambda j, i: (j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((t * sc, bb * wt), xp.dtype),
+            pltpu.VMEM((o, bb * wt), xp.dtype),
             pltpu.VMEM((o, t * sc), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -280,7 +353,7 @@ def pallas_grouped_conv_supported(win: int, k: int, s: int, pad: int,
     sc = s * (cin // g)
     if sc % 16:
         return False
-    _, w_pad = _tile_w(wf_s)
+    _, _, w_pad = _tile_w(wf_s)
     x_block = sc * (w_pad + t - 1) * 4
     w_block = (cout // g) * t * sc * 4
     return x_block < 8 * 2 ** 20 and w_block < 4 * 2 ** 20
@@ -292,7 +365,7 @@ def _fold_pad(x, s, g, hl, hr):
     t = hl + hr + 1
     xp = _fold_x(x, s, g, hl, hr)  # [..., wf/s + t - 1]
     wf_s = xp.shape[-1] - (t - 1)
-    _, w_pad = _tile_w(wf_s)
+    _, _, w_pad = _tile_w(wf_s)
     return jnp.pad(xp, ((0, 0),) * 3 + ((0, w_pad - wf_s),)), wf_s
 
 
@@ -356,7 +429,7 @@ def _vjp_bwd(s, pad, g, interpret, res, dy):
     # dX: the same core kernel over dy with a phase-packed transposed
     # weight; taps span the mirrored halo (left pad hr), and the folded
     # output needs wf_s columns.
-    _, w_pad_dx = _tile_w(wf_s)
+    _, _, w_pad_dx = _tile_w(wf_s)
     dyp = jnp.pad(
         dy4, ((0, 0), (0, 0), (0, 0), (hr, w_pad_dx + t - 1 - out_w - hr))
     )

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Per-shape A/B of grouped-conv lowerings for the MSD discriminator.
 
-The HiFi-GAN per-op profile (profile_step.py) attributes 60% of the GAN
+The HiFi-GAN per-op profile (profile_step.py) attributes ~60% of the GAN
 step to MultiScaleDiscriminator convolutions running at 2-7% HBM util and
 ~12-21 TFLOP/s — starved MXU, not bandwidth.  Root cause: XLA's native
 grouped-conv lowering contracts only Cin/G (32-64) of the 128-wide MXU.
@@ -42,6 +42,15 @@ SHAPES = [
     ("s0.conv3", 2048, 256, 512, 41, 4, 16),
     ("s0.conv4", 512, 512, 1024, 41, 4, 16),
     ("s0.conv5", 128, 1024, 1024, 41, 1, 16),
+    # scales 1/2 run the same stack on avg-pooled audio whose widths are
+    # ODD (pool pad=2): ragged tiles + batch packing are what's measured
+    ("s1.conv1", 4097, 128, 128, 41, 2, 4),
+    ("s1.conv2", 2049, 128, 256, 41, 2, 16),
+    ("s1.conv3", 1025, 256, 512, 41, 4, 16),
+    ("s1.conv4", 257, 512, 1024, 41, 4, 16),
+    ("s1.conv5", 65, 1024, 1024, 41, 1, 16),
+    ("s2.conv4", 129, 512, 1024, 41, 4, 16),
+    ("s2.conv5", 33, 1024, 1024, 41, 1, 16),
 ]
 
 
