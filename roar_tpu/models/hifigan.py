@@ -52,6 +52,13 @@ _DENSE_GROUPED = os.environ.get("ROAR_DENSE_GROUPED", "0")
 #                     cannot be partitioned by XLA SPMD)
 _PALLAS_GROUPED = os.environ.get("ROAR_PALLAS_GROUPED", "auto")
 
+# Output-phase packing for the Pallas grouped convs (out_fold =
+# best_out_fold): the kernel matmul emits f output phases as extra M
+# rows, lifting M from coutpg (16-64, a starved 128-row MXU) to 128.
+# Exact numerics for any fold (tests/test_grouped_conv.py); "0" pins
+# f=1 for A/Bs.
+_GC_PHASE_PACK = os.environ.get("ROAR_GC_PHASE_PACK", "1")
+
 _normal_init = nn.initializers.normal(stddev=0.01)
 
 
@@ -84,7 +91,7 @@ class PallasGroupedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x_cf):
-        from roar_tpu.ops.grouped_conv import grouped_conv1d_cf
+        from roar_tpu.ops.grouped_conv import best_out_fold, grouped_conv1d_cf
 
         k = self.kernel_size[0]
         g = self.feature_group_count
@@ -94,9 +101,14 @@ class PallasGroupedConv(nn.Module):
             jnp.float32,
         )
         _, interpret = _pallas_grouped_mode()
+        fold = (
+            best_out_fold(x_cf.shape[-1], k, self.strides[0],
+                          self.padding[0][0], cin, self.features, g)
+            if _GC_PHASE_PACK != "0" else 1
+        )
         y = grouped_conv1d_cf(
             x_cf, kernel.astype(x_cf.dtype), self.strides[0],
-            self.padding[0][0], g, interpret,
+            self.padding[0][0], g, interpret, fold,
         )
         if self.use_bias:
             bias = self.param(

@@ -45,25 +45,39 @@ def _interpret_default() -> bool:
 
 # ---------------------------------------------------------------------------
 # Tap geometry: output n of a stride-s conv with padding p reads input
-# n*s + j - p for tap j.  In the stride-folded (space-to-depth) view the
-# input is [s*C, W/s] with row (phase, c) = x[c, m*s + phase]; tap j lands
-# at folded offset o_j = floor((j - p) / s) and phase p_j = (j - p) - s*o_j.
+# n*s + j - p for tap j.  With OUTPUT-PHASE PACKING by f (n = m*f + q, the
+# matmul emits all f output phases of folded position m as extra rows —
+# M goes from coutpg to f*coutpg, filling the 128-row MXU for the MSD's
+# starved coutpg = 16-64 shapes), the input is folded by F = s*f: row
+# (phase, c) = x[c, m*F + phase], and tap (q, j) reads u = q*s + j - pad,
+# i.e. folded offset o = u // F and phase p = u % F.  f=1 recovers the
+# plain stride fold (q = 0, u = j - pad).
 # ---------------------------------------------------------------------------
 
 
-def _tap_geometry(k: int, s: int, pad: int):
-    offs = [(j - pad) // s for j in range(k)]
-    phases = [(j - pad) - s * o for j, o in zip(range(k), offs)]
+def _tap_geometry(k: int, s: int, pad: int, f: int = 1):
+    """Flat (q, j) tap maps: returns (qs, js, offs, phases, hl, hr, T)."""
+    ff = s * f
+    qs, js, offs, phases = [], [], [], []
+    for q in range(f):
+        for j in range(k):
+            u = q * s + j - pad
+            qs.append(q)
+            js.append(j)
+            offs.append(u // ff)
+            phases.append(u % ff)
     hl, hr = -min(offs), max(offs)
     t = hl + hr + 1
-    return offs, phases, hl, hr, t
+    return (np.asarray(qs), np.asarray(js), np.asarray(offs),
+            np.asarray(phases), hl, hr, t)
 
 
 def _fold_x(x: jnp.ndarray, s: int, g: int, hl: int, hr: int) -> jnp.ndarray:
     """[B, C, W] -> zero-padded folded [B, G, s*cpg, W/s + hl + hr].
 
     Row order within a group is (phase, c): phase-major so a folded tap
-    offset selects one contiguous [s*cpg, W_tile] block per tap.
+    offset selects one contiguous [s*cpg, W_tile] block per tap.  (s here
+    is the TOTAL fold F = stride * out_fold.)
     """
     b, c, w = x.shape
     cpg = c // g
@@ -75,55 +89,59 @@ def _fold_x(x: jnp.ndarray, s: int, g: int, hl: int, hr: int) -> jnp.ndarray:
     return jnp.pad(xf, ((0, 0), (0, 0), (0, 0), (hl, hr)))
 
 
-def _pack_w_fwd(w: jnp.ndarray, s: int, g: int, pad: int) -> jnp.ndarray:
-    """flax kernel [k, cpg, cout] -> packed [G, coutpg, T*(s*cpg)].
+def _pack_w_fwd(w: jnp.ndarray, s: int, g: int, pad: int,
+                f: int = 1) -> jnp.ndarray:
+    """flax kernel [k, cpg, cout] -> packed [G, f*coutpg, T*(F*cpg)].
 
-    Packed contraction row of tap j is (o_j + hl, p_j, c) — matching the
-    folded activation's (offset, phase, c) rows.  Taps that no (j) maps to
-    stay zero (at most ~s/k extra FLOPs).
+    Output row (q, oc); packed contraction row of tap (q, j) is
+    (o_qj + hl, p_qj, c) — matching the F-folded activation's (offset,
+    phase, c) rows.  Slots no (q, j) maps to stay zero (their FLOPs are
+    the price of the fatter M; measured win per shape).
     """
     k, cpg, cout = w.shape
     coutpg = cout // g
-    offs, phases, hl, hr, t = _tap_geometry(k, s, pad)
+    qs, js, offs, phases, hl, hr, t = _tap_geometry(k, s, pad, f)
     wr = w.reshape(k, cpg, g, coutpg)  # output channels are group-major
-    packed = jnp.zeros((g, coutpg, t, s, cpg), w.dtype)
-    ts = np.asarray([o + hl for o in offs])
-    ps = np.asarray(phases)
-    # (t, p) pairs are unique per tap j: scatter-free advanced indexing
-    packed = packed.at[:, :, ts, ps, :].set(wr.transpose(2, 3, 0, 1))
-    return packed.reshape(g, coutpg, t * s * cpg)
+    packed = jnp.zeros((g, f, coutpg, t, s * f, cpg), w.dtype)
+    # (q, t, p) triples are unique per (q, j): scatter-free advanced
+    # indexing; non-adjacent advanced axes (1, 3, 4) broadcast to the
+    # FRONT, so the value is [f*k, g, coutpg, cpg]
+    packed = packed.at[:, qs, :, offs + hl, phases, :].set(
+        wr.transpose(0, 2, 3, 1)[js])
+    return packed.reshape(g, f * coutpg, t * s * f * cpg)
 
 
-def _pack_w_dx(w: jnp.ndarray, s: int, g: int, pad: int) -> jnp.ndarray:
-    """Transposed weight for the dX pass: [G, s*cpg, T*coutpg].
+def _pack_w_dx(w: jnp.ndarray, s: int, g: int, pad: int,
+               f: int = 1) -> jnp.ndarray:
+    """Transposed weight for the dX pass: [G, F*cpg, T*(f*coutpg)].
 
-    dx_folded row (p, c) at position m sums w[j, c, o] * dy[o, m - o_j]
-    over taps j with phase p.  With dy left-padded by hr, tap j reads the
-    packed tap slot (hr - o_j).
+    dx_folded row (p, c) at position m sums w[j, c, oc] * dyf[(q, oc),
+    m - o_qj] over tap pairs (q, j) with phase p.  With dyf left-padded
+    by hr, tap (q, j) reads the packed tap slot (hr - o_qj).
     """
     k, cpg, cout = w.shape
     coutpg = cout // g
-    offs, phases, hl, hr, t = _tap_geometry(k, s, pad)
+    qs, js, offs, phases, hl, hr, t = _tap_geometry(k, s, pad, f)
     wr = w.reshape(k, cpg, g, coutpg)
-    packed = jnp.zeros((g, s, cpg, t, coutpg), w.dtype)
-    ts = np.asarray([hr - o for o in offs])
-    ps = np.asarray(phases)
-    # non-adjacent advanced indices (axes 1 and 3) broadcast to the FRONT:
-    # the value must be [k, g, cpg, coutpg]
-    packed = packed.at[:, ps, :, ts, :].set(wr.transpose(0, 2, 1, 3))
-    return packed.reshape(g, s * cpg, t * coutpg)
+    packed = jnp.zeros((g, s * f, cpg, t, f, coutpg), w.dtype)
+    # value broadcast to the front: [f*k, g, cpg, coutpg]
+    packed = packed.at[:, phases, :, hr - offs, qs, :].set(
+        wr.transpose(0, 2, 1, 3)[js])
+    return packed.reshape(g, s * f * cpg, t * f * coutpg)
 
 
 def _unpack_dw(dwp: jnp.ndarray, k: int, s: int, g: int, pad: int,
-               cpg: int, cout: int) -> jnp.ndarray:
-    """[G, coutpg, T*(s*cpg)] accumulated grads -> flax [k, cpg, cout]."""
+               cpg: int, cout: int, f: int = 1) -> jnp.ndarray:
+    """[G, f*coutpg, T*(F*cpg)] accumulated grads -> flax [k, cpg, cout].
+
+    Each weight w[j] feeds all f output phases, so its gradient is the
+    SUM over q of the (q, j) slots."""
     coutpg = cout // g
-    offs, phases, hl, hr, t = _tap_geometry(k, s, pad)
-    dwr = dwp.reshape(g, coutpg, t, s, cpg)
-    ts = np.asarray([o + hl for o in offs])
-    ps = np.asarray(phases)
-    dw = dwr[:, :, ts, ps, :]  # [G, coutpg, k, cpg]
-    return dw.transpose(2, 3, 0, 1).reshape(k, cpg, cout)
+    qs, js, offs, phases, hl, hr, t = _tap_geometry(k, s, pad, f)
+    dwr = dwp.reshape(g, f, coutpg, t, s * f, cpg)
+    taps = dwr[:, qs, :, offs + hl, phases, :]  # [f*k, G, coutpg, cpg]
+    dw = jnp.zeros((k, g, coutpg, cpg), dwp.dtype).at[js].add(taps)
+    return dw.transpose(0, 3, 1, 2).reshape(k, cpg, cout)
 
 
 # ---------------------------------------------------------------------------
@@ -337,26 +355,55 @@ def _out_len(w: int, k: int, s: int, pad: int) -> int:
 
 
 def pallas_grouped_conv_supported(win: int, k: int, s: int, pad: int,
-                                  cin: int, cout: int, g: int) -> bool:
+                                  cin: int, cout: int, g: int,
+                                  out_fold: int = 1) -> bool:
     """Shape gate for the kernel's tiling + Mosaic alignment rules:
     channel counts must split by G, the folded channel count must be
-    sublane-aligned, padding must not exceed the stride fold, and the
+    sublane-aligned, padding must not exceed the total fold, and the
     per-program VMEM blocks must fit.  All MSD discriminator shapes
     (including the odd avg-pooled widths of scales 1/2) qualify."""
     if cin % g or cout % g:
         return False
-    wf_s = -(-win // s)  # folded width
+    f = out_fold
+    ff = s * f
+    wf = -(-win // ff)  # F-folded width
     out_w = _out_len(win, k, s, pad)
-    if out_w > wf_s:
+    owf = -(-out_w // f)  # f-folded output width
+    if owf > wf:
         return False
-    _, _, _, _, t = _tap_geometry(k, s, pad)
-    sc = s * (cin // g)
+    _, _, _, _, _, _, t = _tap_geometry(k, s, pad, f)
+    sc = ff * (cin // g)
     if sc % 16:
         return False
-    _, _, w_pad = _tile_w(wf_s)
+    _, _, w_pad = _tile_w(wf)
     x_block = sc * (w_pad + t - 1) * 4
-    w_block = (cout // g) * t * sc * 4
+    w_block = f * (cout // g) * t * sc * 4
     return x_block < 8 * 2 ** 20 and w_block < 4 * 2 ** 20
+
+
+def best_out_fold(win: int, k: int, s: int, pad: int,
+                  cin: int, cout: int, g: int) -> int:
+    """Largest supported output fold with f*coutpg <= 128: the matmul M
+    that actually fills the MXU's 128 rows (DESIGN.md §7g headroom (b)).
+
+    Measured per-shape gating (grouped_conv_bench.py pallas vs pallas_pp,
+    all 12 MSD shapes): folding wins ONLY while the matmul N stays healthy
+    — f must divide out_w exactly (a ragged fold multiplies the junk-tail
+    fraction by f) and the folded width must still fill a 128-lane tile.
+    That rule separates the measured winners (+24/+20/+6.5% on the wide
+    scale-0 shapes) from every measured loser (-1 to -26% on the narrow /
+    odd-width shapes) with no exceptions."""
+    coutpg = cout // g
+    out_w = _out_len(win, k, s, pad)
+    best = 1
+    f = 2
+    while coutpg * f <= 128:
+        if (out_w % f == 0 and out_w // f >= 128
+                and pallas_grouped_conv_supported(win, k, s, pad,
+                                                  cin, cout, g, f)):
+            best = f
+        f *= 2
+    return best
 
 
 def _fold_pad(x, s, g, hl, hr):
@@ -369,22 +416,36 @@ def _fold_pad(x, s, g, hl, hr):
     return jnp.pad(xp, ((0, 0),) * 3 + ((0, w_pad - wf_s),)), wf_s
 
 
-def _fwd_impl(x, w, s, pad, g, interpret):
+def _fold_dy(dy, g, coutpg, owf, f):
+    """[B, Cout, out_w] cotangent -> f-folded [B, G, f*coutpg, owf] with
+    row order (q, oc) matching the packed forward weight's output rows."""
+    b, cout, out_w = dy.shape
+    dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, owf * f - out_w)))
+    dy5 = dyp.reshape(b, g, coutpg, owf, f).transpose(0, 1, 4, 2, 3)
+    return dy5.reshape(b, g, f * coutpg, owf)
+
+
+def _fwd_impl(x, w, s, pad, g, interpret, f=1):
     b, cin, win = x.shape
     k, cpg, cout = w.shape
-    _, _, hl, hr, t = _tap_geometry(k, s, pad)
+    coutpg = cout // g
+    _, _, _, _, hl, hr, t = _tap_geometry(k, s, pad, f)
+    ff = s * f
     out_w = _out_len(win, k, s, pad)
-    assert out_w <= -(-win // s), "padding exceeds the stride fold"
-    xp, wf_s = _fold_pad(x, s, g, hl, hr)
-    wp = _pack_w_fwd(w.astype(x.dtype), s, g, pad)
-    y4 = _core(xp, wp, wf_s, interpret)
-    y = y4.reshape(b, cout, y4.shape[-1])
+    owf = -(-out_w // f)
+    assert owf <= -(-win // ff), "padding exceeds the total fold"
+    xp, wf = _fold_pad(x, ff, g, hl, hr)
+    wp = _pack_w_fwd(w.astype(x.dtype), s, g, pad, f)
+    y4 = _core(xp, wp, wf, interpret)
+    y = y4[:, :, :, :owf].reshape(b, g, f, coutpg, owf)
+    y = y.transpose(0, 1, 3, 4, 2).reshape(b, cout, owf * f)
     return y[:, :, :out_w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def grouped_conv1d_cf(x, w, stride: int, padding: int,
-                      feature_group_count: int, interpret: bool = False):
+                      feature_group_count: int, interpret: bool = False,
+                      out_fold: int = 1):
     """Grouped 1-D conv, channels-first.
 
     Args:
@@ -396,54 +457,65 @@ def grouped_conv1d_cf(x, w, stride: int, padding: int,
            ``lax.conv_general_dilated(..., padding=[(padding, padding)])``.
         feature_group_count: G.  Output channel oc reads input group
            oc // (Cout/G), exactly XLA's grouped semantics.
+        out_fold: output-phase packing factor f — the kernel's matmul
+           emits f interleaved output phases as extra M rows (M becomes
+           f*Cout/G), then the wrapper unfolds them exactly.  Numerics
+           are identical for any supported f; pick with best_out_fold.
 
     Returns: [B, Cout, out_w] with out_w = (W + 2*padding - k)//stride + 1.
     """
-    return _fwd_impl(x, w, stride, padding, feature_group_count, interpret)
+    return _fwd_impl(x, w, stride, padding, feature_group_count, interpret,
+                     out_fold)
 
 
-def _vjp_fwd(x, w, s, pad, g, interpret):
+def _vjp_fwd(x, w, s, pad, g, interpret, f):
     b, cin, win = x.shape
     k, cpg, cout = w.shape
-    _, _, hl, hr, t = _tap_geometry(k, s, pad)
+    coutpg = cout // g
+    _, _, _, _, hl, hr, t = _tap_geometry(k, s, pad, f)
+    ff = s * f
     out_w = _out_len(win, k, s, pad)
-    xp, wf_s = _fold_pad(x, s, g, hl, hr)
-    wp = _pack_w_fwd(w.astype(x.dtype), s, g, pad)
-    y4 = _core(xp, wp, wf_s, interpret)
-    y = y4.reshape(b, cout, y4.shape[-1])[:, :, :out_w]
+    owf = -(-out_w // f)
+    xp, wf = _fold_pad(x, ff, g, hl, hr)
+    wp = _pack_w_fwd(w.astype(x.dtype), s, g, pad, f)
+    y4 = _core(xp, wp, wf, interpret)
+    y = y4[:, :, :, :owf].reshape(b, g, f, coutpg, owf)
+    y = y.transpose(0, 1, 3, 4, 2).reshape(b, cout, owf * f)[:, :, :out_w]
     # the FOLDED input is the residual — dW consumes it directly, so the
     # fold never runs twice (and the raw x is not otherwise needed)
     return y, (xp, w, win)
 
 
-def _vjp_bwd(s, pad, g, interpret, res, dy):
+def _vjp_bwd(s, pad, g, interpret, f, res, dy):
     xp, w, win = res
     k, cpg, cout = w.shape
     cin = cpg * g
     coutpg = cout // g
-    _, _, hl, hr, t = _tap_geometry(k, s, pad)
-    b, _, _, out_w = dy.shape[0], 0, 0, dy.shape[-1]
-    wf_s = -(-win // s)
-    dy4 = dy.reshape(b, g, coutpg, out_w).astype(xp.dtype)
+    _, _, _, _, hl, hr, t = _tap_geometry(k, s, pad, f)
+    ff = s * f
+    b, out_w = dy.shape[0], dy.shape[-1]
+    owf = -(-out_w // f)
+    wf = -(-win // ff)
+    dy4 = _fold_dy(dy.astype(xp.dtype), g, coutpg, owf, f)
 
-    # dX: the same core kernel over dy with a phase-packed transposed
-    # weight; taps span the mirrored halo (left pad hr), and the folded
-    # output needs wf_s columns.
-    _, _, w_pad_dx = _tile_w(wf_s)
+    # dX: the same core kernel over the f-folded dy with a phase-packed
+    # transposed weight; taps span the mirrored halo (left pad hr), and
+    # the F-folded output needs wf columns.
+    _, _, w_pad_dx = _tile_w(wf)
     dyp = jnp.pad(
-        dy4, ((0, 0), (0, 0), (0, 0), (hr, w_pad_dx + t - 1 - out_w - hr))
+        dy4, ((0, 0), (0, 0), (0, 0), (hr, w_pad_dx + t - 1 - owf - hr))
     )
-    wdx = _pack_w_dx(w.astype(xp.dtype), s, g, pad)
-    dxf = _core(dyp, wdx, wf_s, interpret)[:, :, :, :wf_s]
-    dxf = dxf.reshape(b, g, s, cpg, wf_s).transpose(0, 1, 3, 4, 2)
-    dx = dxf.reshape(b, cin, wf_s * s)[:, :, :win]
+    wdx = _pack_w_dx(w.astype(xp.dtype), s, g, pad, f)
+    dxf = _core(dyp, wdx, wf, interpret)[:, :, :, :wf]
+    dxf = dxf.reshape(b, g, ff, cpg, wf).transpose(0, 1, 3, 4, 2)
+    dx = dxf.reshape(b, cin, wf * ff)[:, :, :win]
 
     # dW: contract the saved folded x against dy over (batch, width);
     # dy's junk tail (ragged width or pad < (k-1)//2) stays zero.
     w_pad_fwd = xp.shape[-1] - (t - 1)
-    dyz = jnp.pad(dy4, ((0, 0),) * 3 + ((0, w_pad_fwd - out_w),))
+    dyz = jnp.pad(dy4, ((0, 0),) * 3 + ((0, w_pad_fwd - owf),))
     dwp = _dw(xp, dyz, t, interpret)
-    dw = _unpack_dw(dwp, k, s, g, pad, cpg, cout).astype(w.dtype)
+    dw = _unpack_dw(dwp, k, s, g, pad, cpg, cout, f).astype(w.dtype)
     return dx.astype(dy.dtype), dw
 
 

@@ -148,8 +148,24 @@ def pallas(x, w, s, g):
     return jnp.swapaxes(y, 1, 2)
 
 
+def pallas_pp(x, w, s, g):
+    """Same kernel with output-phase packing (best_out_fold): the matmul
+    emits f output phases as extra M rows, filling the 128-row MXU for
+    coutpg = 16-64 (DESIGN.md §7g headroom (b))."""
+    import jax.numpy as jnp
+
+    from roar_tpu.ops.grouped_conv import best_out_fold, grouped_conv1d_cf
+
+    k, cpg, cout = w.shape
+    cin = cpg * g
+    f = best_out_fold(x.shape[1], k, s, (k - 1) // 2, cin, cout, g)
+    xc = jnp.swapaxes(x, 1, 2)
+    y = grouped_conv1d_cf(xc, w, s, (41 - 1) // 2, g, False, f)
+    return jnp.swapaxes(y, 1, 2)
+
+
 METHODS = {"native": native, "dense": dense, "im2col": im2col, "s2d": s2d,
-           "pallas": pallas}
+           "pallas": pallas, "pallas_pp": pallas_pp}
 
 
 def main():

@@ -80,6 +80,82 @@ def test_gradients_match_lax(shape):
                                rtol=1e-4, atol=1e-4)
 
 
+FOLD_SHAPES = [
+    # (B, W, cin, cout, k, s, g, pad, f) — output-phase packing cases:
+    # every stride class, ragged width, odd out_w, pad < (k-1)//2
+    (2, 64, 32, 32, 5, 1, 2, 2, 2),
+    (2, 64, 32, 32, 5, 1, 2, 2, 4),
+    (1, 66, 32, 32, 9, 1, 2, 4, 2),
+    (2, 64, 32, 32, 5, 1, 2, 1, 2),
+    (2, 64, 16, 16, 9, 4, 4, 4, 2),
+    (2, 63, 32, 32, 5, 1, 2, 2, 2),
+    (2, 128, 16, 32, 41, 2, 4, 20, 8),
+]
+
+
+@pytest.mark.parametrize("shape", FOLD_SHAPES,
+                         ids=[str(s) for s in FOLD_SHAPES])
+def test_out_fold_matches_lax(shape):
+    """Output-phase packing (out_fold > 1) is exact: forward and both
+    grads match XLA's grouped conv for every stride/fold/raggedness class
+    the MSD uses (the fold only changes the matmul M-blocking)."""
+    b, wid, cin, cout, k, s, g, pad, f = shape
+    from roar_tpu.ops.grouped_conv import pallas_grouped_conv_supported
+
+    assert pallas_grouped_conv_supported(wid, k, s, pad, cin, cout, g, f)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, cin, wid)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin // g, cout)) * 0.1,
+                    jnp.float32)
+    ref = ref_conv_cf(x, w, s, pad, g)
+    out_w = ref.shape[-1]
+    cot = jnp.asarray(rng.standard_normal((b, cout, out_w)), jnp.float32)
+
+    def loss_ref(x, w):
+        return jnp.sum(ref_conv_cf(x, w, s, pad, g) * cot)
+
+    def loss_new(x, w):
+        return jnp.sum(
+            grouped_conv1d_cf(x, w, s, pad, g, INTERPRET, f) * cot)
+
+    got = grouped_conv1d_cf(x, w, s, pad, g, INTERPRET, f)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    gx_new, gw_new = jax.grad(loss_new, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_new), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_best_out_fold_msd_shapes():
+    """best_out_fold reproduces the measured per-shape gating on the 12
+    real MSD shapes (grouped_conv_bench.py pallas vs pallas_pp A/B): the
+    wide even-width scale-0 shapes fold to a full 128-row M; every
+    narrow or odd-width shape (where folding measured a loss) stays f=1."""
+    from roar_tpu.ops.grouped_conv import best_out_fold
+
+    expected = {  # (W, cin, cout, k, s, g) -> measured-best fold
+        (8192, 128, 128, 41, 2, 4): 4,     # +23.9%
+        (4096, 128, 256, 41, 2, 16): 8,    # +20.3%
+        (2048, 256, 512, 41, 4, 16): 4,    # +6.5%
+        (512, 512, 1024, 41, 4, 16): 1,    # folded N sub-tile: measured loss
+        (128, 1024, 1024, 41, 1, 16): 1,   # same
+        (4097, 128, 128, 41, 2, 4): 1,     # odd out_w: ragged fold loses
+        (2049, 128, 256, 41, 2, 16): 1,
+        (1025, 256, 512, 41, 4, 16): 1,
+        (257, 512, 1024, 41, 4, 16): 1,
+        (65, 1024, 1024, 41, 1, 16): 1,
+        (129, 512, 1024, 41, 4, 16): 1,
+        (33, 1024, 1024, 41, 1, 16): 1,
+    }
+    for (w, cin, cout, k, s, g), want in expected.items():
+        f = best_out_fold(w, k, s, (k - 1) // 2, cin, cout, g)
+        assert f == want, (w, cin, cout, s, g, f, want)
+
+
 def test_bf16_forward_close():
     b, wid, cin, cout, k, s, g, pad = 2, 128, 16, 32, 41, 2, 4, 20
     rng = np.random.default_rng(2)
