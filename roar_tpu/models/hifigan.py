@@ -358,10 +358,18 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
-    """Scale discriminator (hifigan_modules.py:392-430)."""
+    """Scale discriminator (hifigan_modules.py:392-430).
+
+    ``dense=True`` is the TPU-recommended variant (DESIGN.md §7g item c):
+    the same 7-conv stack with ``feature_group_count=1`` everywhere, at a
+    smaller channel pyramid chosen for ~equal parameter count.  The
+    reference's grouped design (g=4/16, per-group output channels 16-64
+    against a 128-row MXU) caps MXU occupancy at 12-50% under ANY
+    lowering; dense convs of the same cost run at MPD-like TFLOP/s."""
 
     use_spectral_norm: bool = False
     conv_channels: Sequence[int] = (128, 256, 512, 1024)
+    dense: bool = False
 
     def _norm(self, conv, name):
         if self.use_spectral_norm:
@@ -372,13 +380,14 @@ class DiscriminatorS(nn.Module):
     def __call__(self, x, update_stats: bool = False):
         # x: [B, S]
         c0, c1, c2, c3 = self.conv_channels
+        g4, g16 = (1, 1) if self.dense else (4, 16)
         specs = [
             (c0, 15, 1, 1),
-            (c0, 41, 2, 4),
-            (c1, 41, 2, 16),
-            (c2, 41, 4, 16),
-            (c3, 41, 4, 16),
-            (c3, 41, 1, 16),
+            (c0, 41, 2, g4),
+            (c1, 41, 2, g16),
+            (c2, 41, 4, g16),
+            (c3, 41, 4, g16),
+            (c3, 41, 1, g16),
             (c3, 5, 1, 1),
         ]
         x = x[..., None]  # [B, S, 1]
@@ -462,16 +471,28 @@ def _avg_pool_1d(x, window=4, stride=2, padding=2):
 
 class MultiScaleDiscriminator(nn.Module):
     debug: bool = False  # tiny channels (reference `debug` flag)
+    # "grouped" (reference parity) | "dense" (TPU-recommended, §7g item c):
+    # g=1 stacks at a (48, 96, 192, 384) pyramid — 10.84M params/scale vs
+    # the grouped stack's 9.87M (+9.9%), same depth/kernels/strides/fmap
+    # structure, but every conv is a full-contraction MXU matmul.
+    variant: str = "grouped"
 
     @nn.compact
     def __call__(self, y, y_hat, update_stats: bool = False):
-        chs = (16, 32, 32, 64) if self.debug else (128, 256, 512, 1024)
+        dense = self.variant == "dense"
+        if self.debug:
+            chs = (16, 32, 32, 64)
+        elif dense:
+            chs = (48, 96, 192, 384)
+        else:
+            chs = (128, 256, 512, 1024)
         real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
         for i in range(3):
             if i != 0:
                 y = _avg_pool_1d(y)
                 y_hat = _avg_pool_1d(y_hat)
-            d = DiscriminatorS(use_spectral_norm=(i == 0), conv_channels=chs, name=f"disc_s{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0), conv_channels=chs,
+                               dense=dense, name=f"disc_s{i}")
             sr, fr = d(y, update_stats=update_stats)
             sg, fg = d(y_hat, update_stats=update_stats)
             real_scores.append(sr)

@@ -67,7 +67,10 @@ class HifiGanModel:
         self.generator = generator_from_config(cfg.get("generator", {}), n_mel)
         debug = cfg.get("debug", False)
         self.mpd = MultiPeriodDiscriminator(debug=debug)
-        self.msd = MultiScaleDiscriminator(debug=debug)
+        # msd_variant: "grouped" (reference parity, default) | "dense"
+        # (TPU-recommended equal-param g=1 stack, DESIGN.md §7g item c)
+        self.msd = MultiScaleDiscriminator(
+            debug=debug, variant=cfg.get("msd_variant", "grouped"))
         self.l1_factor = cfg.get("l1_loss_factor", 45)
 
     # ------------------------------------------------------------------

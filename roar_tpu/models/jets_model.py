@@ -115,7 +115,8 @@ class JETSModel:
         )
         debug = cfg.get("debug", False)
         self.mpd = MultiPeriodDiscriminator(debug=debug)
-        self.msd = MultiScaleDiscriminator(debug=debug)
+        self.msd = MultiScaleDiscriminator(
+            debug=debug, variant=cfg.get("msd_variant", "grouped"))
 
         self.mel_loss_scale = cfg.get("mel_loss_scale", 45.0)
         self.feature_loss_scale = cfg.get("feature_loss_scale", 2.0)

@@ -76,7 +76,8 @@ class VITSModel:
         )
         debug = cfg.get("debug", False)
         self.mpd = MultiPeriodDiscriminator(debug=debug)
-        self.msd = MultiScaleDiscriminator(debug=debug)
+        self.msd = MultiScaleDiscriminator(
+            debug=debug, variant=cfg.get("msd_variant", "grouped"))
         self.mel_loss_scale = cfg.get("mel_loss_scale", 45.0)
         self.kl_loss_scale = cfg.get("kl_loss_scale", 1.0)
         self.dur_loss_scale = cfg.get("dur_loss_scale", 1.0)

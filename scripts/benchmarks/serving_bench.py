@@ -95,10 +95,9 @@ def main():
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    server.shutdown()
-    server.batcher.close()
 
     # --- streaming TTFA: long text, first chunk vs full synthesis ---------
+    # (must run BEFORE server.shutdown(): these are live HTTP requests)
     long_text = ". ".join(["the quick brown fox jumps over the lazy dog"] * 6)
     ttfa, full = [], []
     for _ in range(5):
@@ -112,6 +111,9 @@ def main():
             ttfa.append(time.perf_counter() - t)
             r.read()  # drain the rest
             full.append(time.perf_counter() - t)
+
+    server.shutdown()
+    server.batcher.close()
 
     lat_ms = np.asarray(sorted(lat)) * 1e3
     print(json.dumps({

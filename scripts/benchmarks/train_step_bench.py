@@ -57,8 +57,9 @@ def bench_hifigan(args):
     from roar_tpu.training.optim import build_optimizer
 
     root = Path(__file__).resolve().parents[2]
-    cfg = load_config(root / "configs/hifigan_22050.yaml",
-                      overrides=["train_dataset=x", "validation_datasets=x"])
+    cfg = load_config(
+        root / "configs/hifigan_22050.yaml",
+        overrides=["train_dataset=x", "validation_datasets=x"] + args.set)
     model = HifiGanModel(cfg["model"])
     seg = 8192
     rng = np.random.default_rng(0)
@@ -88,6 +89,7 @@ def bench_hifigan(args):
         "unit": "ms/step",
         "batch": args.batch, "segment": seg, "precision": args.precision,
         "shared_forward": not args.two_forward,
+        **({"overrides": args.set} if args.set else {}),
         "audio_sec_per_sec": round(args.batch * seg / 22050 / dt, 1),
         **_mfu(step, dt, state, batch, key, 0),
     }))
@@ -348,6 +350,9 @@ def main():
     p.add_argument("--accum", type=int, default=4,
                    help="gpt_1b: grad-accumulation microbatches")
     p.add_argument("--flash", action="store_true", help="gpt: use_flash=True")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="extra config dotlist overrides (hifigan: e.g. "
+                        "model.msd_variant=dense)")
     p.add_argument("--precision", default="none", choices=["none", "bf16"])
     p.add_argument("--two-forward", action="store_true",
                    help="GAN models: use the generic two-forward step instead "

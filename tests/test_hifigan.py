@@ -174,3 +174,40 @@ def test_dense_grouped_toggle_model_level(monkeypatch):
         for a, b in zip(fmap, fmap_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_dense_msd_variant_equal_params_and_structure():
+    """The TPU-recommended dense MSD (DESIGN.md §7g item c): g=1 stacks at
+    a (48, 96, 192, 384) pyramid.  Same depth / kernel sizes / strides /
+    fmap structure as the grouped reference stack, parameter count within
+    ~10%, finite scores and GAN losses."""
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+
+    def n_params(variables):
+        return sum(x.size for x in jax.tree_util.tree_leaves(
+            variables["params"]))
+
+    grouped = MultiScaleDiscriminator()
+    dense = MultiScaleDiscriminator(variant="dense")
+    vg = grouped.init(jax.random.PRNGKey(0), y, y_hat)
+    vd = dense.init(jax.random.PRNGKey(0), y, y_hat)
+    ng, nd = n_params(vg), n_params(vd)
+    assert abs(nd - ng) / ng < 0.12, (ng, nd)
+
+    (rs_g, fs_g, fr_g, _), _ = grouped.apply(
+        vg, y, y_hat, update_stats=True, mutable=["batch_stats"])
+    (rs_d, fs_d, fr_d, _), _ = dense.apply(
+        vd, y, y_hat, update_stats=True, mutable=["batch_stats"])
+    # same scale count, per-scale fmap depth, and score widths
+    assert len(rs_d) == len(rs_g) == 3
+    for fg, fd in zip(fr_g, fr_d):
+        assert len(fd) == len(fg)
+        for a, b in zip(fg, fd):
+            assert a.shape[1] == b.shape[1]  # same W per layer
+    from roar_tpu.losses.hifigan_losses import (
+        discriminator_loss as dl, generator_loss as gl)
+    d_loss, _, _ = dl(rs_d, fs_d)
+    g_loss, _ = gl(fs_d)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_loss))
