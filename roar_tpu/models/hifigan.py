@@ -63,13 +63,22 @@ _normal_init = nn.initializers.normal(stddev=0.01)
 
 
 def _pallas_grouped_mode() -> Tuple[bool, bool]:
-    """(enabled, interpret) for the Pallas grouped-conv path."""
+    """(enabled, interpret) for the Pallas grouped-conv path.
+
+    "auto" additionally requires a SINGLE device: an opaque ``pallas_call``
+    cannot be partitioned by GSPMD, so under any multi-device runtime
+    (data-parallel or VOCODER_TP_RULES meshes) the default silently falls
+    back to XLA's native grouped conv instead of failing to compile or
+    replicating the MSD per device (ADVICE r4).  "1" still forces the
+    kernel on for single-program-per-device setups (e.g. inside shard_map)
+    where the caller guarantees per-device-local operands.
+    """
     if _PALLAS_GROUPED == "0" or _DENSE_GROUPED != "0":
         return False, False
     on_tpu = jax.default_backend() == "tpu"
     if _PALLAS_GROUPED == "1":
         return True, not on_tpu
-    return on_tpu, False
+    return on_tpu and jax.device_count() == 1, False
 
 
 class PallasGroupedConv(nn.Module):

@@ -196,9 +196,22 @@ class SynthesisEngine:
             while len(self.fastpitch.parse(piece)[0]) > limit:
                 cut = piece.rfind(" ", 0, limit)
                 cut = cut if cut > 0 else limit
-                head, piece = piece[:cut].strip(), piece[cut:].strip()
+                head, tail = piece[:cut].strip(), piece[cut:].strip()
+                # char index != token count: normalization can EXPAND text
+                # ('%'->'percent', digits->words), so re-validate the head
+                # and keep shrinking the cut until it actually fits
+                # (ADVICE r4).  A single un-splittable token falls through
+                # to the bucket-overflow error in synthesize_batch.
+                while head and len(self.fastpitch.parse(head)[0]) > limit:
+                    c = head.rfind(" ")
+                    if c <= 0:
+                        break
+                    head, tail = head[:c].strip(), (head[c:] + " " + tail).strip()
                 if head:
                     chunks.append(head)
+                if tail == piece:  # no progress possible
+                    break
+                piece = tail
             if piece:
                 chunks.append(piece)
         return chunks
@@ -492,10 +505,21 @@ def make_server(engine: SynthesisEngine, host: str = "127.0.0.1", port: int = 80
                     self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
                     self.wfile.flush()
 
-                chunk(engine.wav_stream_header() + first.astype("<i2").tobytes())
-                for w in gen:
-                    chunk(w.astype("<i2").tobytes())
-                self.wfile.write(b"0\r\n\r\n")
+                # A failure after the 200+chunked headers cannot be turned
+                # into an error status; without the 0-length terminator a
+                # keep-alive client would block until socket timeout, so on
+                # any mid-stream exception drop the connection instead
+                # (ADVICE r4).
+                terminated = False
+                try:
+                    chunk(engine.wav_stream_header() + first.astype("<i2").tobytes())
+                    for w in gen:
+                        chunk(w.astype("<i2").tobytes())
+                    self.wfile.write(b"0\r\n\r\n")
+                    terminated = True
+                finally:
+                    if not terminated:
+                        self.close_connection = True
                 return
             try:
                 if len(engine.fastpitch.parse(text)[0]) > engine.text_buckets[-1]:

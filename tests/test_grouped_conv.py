@@ -198,3 +198,29 @@ def test_all_msd_shapes_supported():
             assert pallas_grouped_conv_supported(
                 w, k, s, (k - 1) // 2, cin, cout, g), (w, cin, cout, s, g)
             w //= s
+
+
+def test_pallas_grouped_auto_disabled_multi_device(monkeypatch):
+    """'auto' must fall back to XLA's native grouped conv whenever more than
+    one device is visible: pallas_call is opaque to GSPMD, so under a
+    data-parallel or vocoder-TP mesh the kernel would fail to partition or
+    silently replicate the MSD per device (ADVICE r4).  Forcing '1' stays a
+    caller promise (e.g. per-device blocks inside shard_map)."""
+    import jax
+
+    from roar_tpu.models import hifigan as hg
+
+    monkeypatch.setattr(hg, "_DENSE_GROUPED", "0")
+    monkeypatch.setattr(hg, "_PALLAS_GROUPED", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert jax.device_count() > 1  # the 8-virtual-device test mesh
+    assert hg._pallas_grouped_mode() == (False, False)
+
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    assert hg._pallas_grouped_mode() == (True, False)
+
+    # explicit force-on is respected regardless of device count
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
+    monkeypatch.setattr(hg, "_PALLAS_GROUPED", "1")
+    enabled, interpret = hg._pallas_grouped_mode()
+    assert enabled and not interpret

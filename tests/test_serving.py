@@ -247,3 +247,62 @@ def test_synthesize_long_splits_and_concatenates(engine):
     finally:
         server.shutdown()
         server.batcher.close()
+
+
+def test_split_text_revalidates_expanded_heads(engine):
+    """Hard splits must re-validate TOKEN length, not char length: the
+    tokenizer's pad_with_space (and normalizations like '%'->'percent')
+    expand text, so a char-index cut can still exceed the largest text
+    bucket (ADVICE r4).  Every produced chunk must parse within the bucket."""
+    limit = engine.text_buckets[-1]
+    # no sentence punctuation -> pure hard-split path.  Word lengths 14+16
+    # put a space at char 31: the old char-index cut took a 31-char head,
+    # which pad_with_space parses to 33 tokens > the 32 bucket (verified:
+    # the pre-fix splitter emits exactly that oversized chunk here).
+    text = "abcdefghijklmn opqrstuvwxyzabcd efghijklmnop qrst " * 3
+    chunks = engine._split_text(text.strip())
+    assert chunks
+    for c in chunks:
+        assert len(engine.fastpitch.parse(c)[0]) <= limit, c
+    # and the full long-form path consumes them without bucket overflow
+    w = engine.synthesize_long(text.strip())
+    assert w.size > 0
+
+
+def test_streaming_midstream_failure_drops_connection(engine, monkeypatch):
+    """If the chunk generator raises AFTER the 200+chunked headers went out,
+    the server must not leave the body unterminated for a keep-alive client:
+    it drops the connection so the client sees EOF promptly (ADVICE r4)."""
+    import http.client
+
+    real_stream = type(engine).synthesize_stream
+
+    def broken_stream(self, *a, **k):
+        gen = real_stream(self, *a, **k)
+        yield next(gen)  # first chunk OK -> headers committed
+        raise RuntimeError("injected mid-stream failure")
+
+    monkeypatch.setattr(type(engine), "synthesize_stream", broken_stream)
+    server = make_server(engine, host="127.0.0.1", port=0, max_wait_ms=5.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request(
+            "POST", "/synthesize",
+            body=json.dumps({"text": "hello there.", "stream": True}),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        # reading to EOF must terminate (connection closed), not hang until
+        # socket timeout; http.client raises IncompleteRead on a chunked
+        # body cut off without the 0-terminator
+        try:
+            resp.read()
+        except (http.client.IncompleteRead, ConnectionError):
+            pass
+        conn.close()
+    finally:
+        server.shutdown()
+        server.batcher.close()
