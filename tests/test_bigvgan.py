@@ -3,6 +3,7 @@
 import numpy as np
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from roar_tpu.models.bigvgan import (
@@ -45,6 +46,7 @@ def test_alias_free_resample_roundtrip():
     assert np.corrcoef(got, ref)[0, 1] > 0.99
 
 
+@pytest.mark.slow
 def test_bigvgan_generator_shapes():
     g = BigVGANGenerator(
         resblock=2,
@@ -62,6 +64,7 @@ def test_bigvgan_generator_shapes():
     assert np.abs(np.asarray(audio)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_multi_resolution_discriminator():
     rng = np.random.default_rng(1)
     y = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)

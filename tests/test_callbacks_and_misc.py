@@ -50,6 +50,7 @@ def test_fastpitch_artifact_generator(tmp_path):
     assert gen2(3, outputs, {}) == []
 
 
+@pytest.mark.slow
 def test_hifigan_denoise():
     from roar_tpu.models.hifigan_model import HifiGanModel
 
@@ -101,6 +102,7 @@ def test_transfer_params():
     assert "params/a" in loaded3 and len(loaded3) == 1
 
 
+@pytest.mark.slow
 def test_adapters_and_freezing():
     """Adapters start as identity; masked optimizer trains only adapters."""
     import optax
@@ -153,6 +155,7 @@ def test_adapters_and_freezing():
             assert not moved, path
 
 
+@pytest.mark.slow
 def test_log_tts_artifacts_runner_hook(tmp_path):
     """run._log_tts_artifacts synthesizes a val utterance and writes plots
     (reference configure_callbacks artifact generators analogue)."""

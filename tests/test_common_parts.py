@@ -33,6 +33,7 @@ class TestMLP:
 
 
 class TestLSTM:
+    @pytest.mark.slow
     def test_shapes_and_state(self):
         lstm = LSTMDropout(hidden_size=12, num_layers=2)
         x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 7, 5)),

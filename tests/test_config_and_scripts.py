@@ -137,6 +137,7 @@ def test_fastpitch_model_from_shipped_config():
     assert model.mel_cfg.hop_length == 512
 
 
+@pytest.mark.slow
 def test_extract_sup_data_script(tmp_path):
     from roar_tpu.data import write_manifest, write_wav
 
@@ -185,6 +186,7 @@ def test_extract_sup_data_script(tmp_path):
     np.testing.assert_allclose(meds, [150, 180, 210], rtol=0.05)
 
 
+@pytest.mark.slow
 def test_export_script_fastpitch(tmp_path):
     """scripts/export.py produces a serialized StableHLO artifact."""
     import jax
@@ -255,6 +257,7 @@ def test_yaml_scientific_notation_floats():
     assert isinstance(c["model"]["preprocessor"]["log_zero_guard_value"], float)
 
 
+@pytest.mark.slow
 def test_resynthesize_dataset_script(tmp_path):
     """scripts/dataset_processing/tts/resynthesize_dataset.py writes mels."""
     import jax
@@ -313,6 +316,7 @@ def test_resynthesize_dataset_script(tmp_path):
     assert (tmp_path / "resynth" / "manifest.json").exists()
 
 
+@pytest.mark.slow
 def test_preprocess_audio_script(tmp_path):
     """preprocess_audio.py trims + normalizes and rewrites the manifest."""
     from roar_tpu.data import write_manifest, write_wav
@@ -351,6 +355,7 @@ def test_preprocess_audio_script(tmp_path):
     assert 0.9 <= np.abs(audio).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_generate_mels_script(tmp_path):
     """scripts/dataset_processing/tts/generate_mels.py writes GTA mels +
     manifest with mel_filepath (reference generate_mels.py parity)."""
@@ -482,6 +487,7 @@ class TestVocoderDatasetRouting:
         assert "audio_filepaths" in batch
 
 
+@pytest.mark.slow
 def test_export_script_dynamic_batch(tmp_path):
     """--dynamic-batch exports with a symbolic batch dimension (the
     TPU-idiomatic analogue of the reference's ragged-batch export,

@@ -241,6 +241,7 @@ class TestActualReferenceParity:
         np.testing.assert_allclose(got, ref_wav, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_full_fastpitch_mapping_coverage():
     """A synthetic reference-named state dict covers the core FastPitch tree."""
     d, n_mel = 32, 20
@@ -490,6 +491,7 @@ class TestReferenceMPDParity:
     (hifigan_modules.py:257-390): with the generator mapping this completes
     vocoder checkpoint continuation (G + MPD)."""
 
+    @pytest.mark.slow
     def test_reference_mpd_parity(self):
         import sys
         from pathlib import Path
@@ -544,6 +546,7 @@ class TestReferenceMPDParity:
             )
 
 
+@pytest.mark.slow
 def test_vocoder_checkpoint_continuation_gan_step():
     """End-to-end continuation: a reference-style HiFi-GAN checkpoint
     (Generator + MPD weight-normed state dicts from the ACTUAL reference
@@ -627,6 +630,7 @@ class TestReferenceMSDParity:
     baked into the kernel, power-iteration state seeded with its true top
     singular vector so flax's one-step sigma is 1)."""
 
+    @pytest.mark.slow
     def test_reference_msd_parity(self):
         import sys
         from pathlib import Path

@@ -18,6 +18,7 @@ def tiny_dac():
 
 
 class TestDACCodec:
+    @pytest.mark.slow
     def test_roundtrip_shapes(self):
         dac = tiny_dac()
         assert dac.hop_length == 8
@@ -31,6 +32,7 @@ class TestDACCodec:
         assert out["latents"].shape == (2, 8, 16)
         assert np.isfinite(float(out["vq/commitment_loss"]))
 
+    @pytest.mark.slow
     def test_decode_from_codes_matches_forward(self):
         """Compression contract: decoding the integer codes reproduces the
         forward reconstruction (up to straight-through fp reassociation)."""
@@ -45,6 +47,7 @@ class TestDACCodec:
             np.asarray(decoded), np.asarray(out["audio"]), atol=2e-3
         )
 
+    @pytest.mark.slow
     def test_straight_through_gradients_reach_encoder(self):
         dac = tiny_dac()
         audio = jnp.ones((1, 64))
@@ -58,6 +61,7 @@ class TestDACCodec:
         enc_leaves = jax.tree_util.tree_leaves(g["params"]["encoder"])
         assert any(float(jnp.abs(x).max()) > 0 for x in enc_leaves)
 
+    @pytest.mark.slow
     def test_quantizer_dropout_masks_stages(self):
         """n_quantizers=1 must equal using only the first codebook."""
         rvq = ResidualVectorQuantize(
@@ -73,6 +77,7 @@ class TestDACCodec:
         dec1 = rvq.apply(params, codes[:, :1], method=ResidualVectorQuantize.decode_codes)
         np.testing.assert_allclose(np.asarray(zq_1), np.asarray(dec1), atol=2e-5)
 
+    @pytest.mark.slow
     def test_per_example_nq(self):
         dac = tiny_dac()
         audio = jnp.ones((2, 64))
@@ -82,6 +87,7 @@ class TestDACCodec:
 
 
 class TestDACModel:
+    @pytest.mark.slow
     def test_gan_step_runs_and_metrics_finite(self):
         model = DACModel(
             {
@@ -110,6 +116,7 @@ class TestDACModel:
             assert np.isfinite(float(v)), k
         assert "g_vq_loss" in metrics and "d_loss_mrd" in metrics
 
+    @pytest.mark.slow
     def test_encode_decode_api(self):
         model = DACModel(
             {

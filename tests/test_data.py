@@ -300,6 +300,7 @@ def tiny_corpus(tmp_path_factory):
     return root, man, sr
 
 
+@pytest.mark.slow
 def test_tts_dataset_end_to_end(tiny_corpus):
     root, man, sr = tiny_corpus
     tok = TamilCharsTokenizer(pad_with_space=True)

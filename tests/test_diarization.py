@@ -126,6 +126,7 @@ def _mel(audio_batch, lens):
     return jnp.swapaxes(mel, 1, 2), mel_lens
 
 
+@pytest.mark.slow
 def test_speaker_encoder_shapes_norm_and_masking():
     import jax
     import jax.numpy as jnp
@@ -265,6 +266,7 @@ def test_streaming_diarization_end_to_end(diar_corpus):
     assert len({l.split()[2] for l in res["labels"]}) == 2
 
 
+@pytest.mark.slow
 def test_learned_encoder_pipeline_smoke(diar_corpus):
     """SpeakerEncoder (untrained) path: pipeline runs, produces finite
     embeddings and a valid RTTM (clusters are arbitrary without training)."""

@@ -14,6 +14,7 @@ from roar_tpu.losses.common_losses import (
 )
 from roar_tpu.models.enhancement import EncMaskDecEnhancementModel
 from roar_tpu.training import Trainer, build_optimizer
+import pytest
 
 
 def test_sdr_values():
@@ -41,6 +42,7 @@ def test_common_losses():
     assert float(aggregate_losses([jnp.asarray(1.0), jnp.asarray(2.0)], [1.0, 0.5])) == 2.0
 
 
+@pytest.mark.slow
 def test_enhancement_denoises_tone():
     """Training the mask estimator on one (noisy -> clean) pair improves SDR."""
     sr = 16000
@@ -101,6 +103,7 @@ def _mic_scene(sr=16000, n=16384, num_mics=2, snr_amp=0.6, seed=0):
     return np.stack(mics).astype(np.float32), clean
 
 
+@pytest.mark.slow
 def test_mvdr_oracle_mask_beats_reference_channel():
     """With oracle TF masks, MVDR over 4 mics must improve SI-SDR well past
     the raw reference channel (theoretical array gain for spatially-white

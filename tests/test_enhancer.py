@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from roar_tpu.models.spectrogram_enhancer import SpectrogramEnhancerModel
 from roar_tpu.training.optim import build_optimizer
+import pytest
 
 
 def make_batch(rng, b=2, n_mel=32, t=64):
@@ -33,6 +34,7 @@ def test_enhancer_gan_step():
         assert float(metrics["gp_loss"]) >= 0
 
 
+@pytest.mark.slow
 def test_enhancer_enhance_shape_and_masking():
     model = SpectrogramEnhancerModel({"n_bands": 32, "latent_dim": 16, "channels": 16, "n_blocks": 2})
     rng = np.random.default_rng(1)

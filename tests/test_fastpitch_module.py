@@ -82,6 +82,7 @@ def model_and_params():
     return model, params, (text, text_lens, spec, mel_lens, pitch, prior)
 
 
+@pytest.mark.slow
 def test_forward_shapes(model_and_params):
     model, params, (text, text_lens, spec, mel_lens, pitch, prior) = model_and_params
     out = model.apply(
@@ -107,6 +108,7 @@ def test_forward_shapes(model_and_params):
     np.testing.assert_allclose(a[: int(mel_lens[0])].sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_jits_and_losses_finite(model_and_params):
     model, params, (text, text_lens, spec, mel_lens, pitch, prior) = model_and_params
 
@@ -176,6 +178,7 @@ def test_multispeaker_conditioning():
     assert not np.allclose(np.asarray(out0["spect"]), np.asarray(out1["spect"]))
 
 
+@pytest.mark.slow
 def test_single_speaker_strips_inert_conditioning():
     """The shipped recipes set condition_types for speaker conditioning;
     with n_speakers=1 (no conditioning source) the task wrapper drops them
@@ -223,6 +226,7 @@ def test_single_speaker_strips_inert_conditioning():
     assert m2.module.encoder.condition_types == ("add", "layernorm")
 
 
+@pytest.mark.slow
 def test_adapter_dim_from_config():
     """adapter_dim in the input/output_fft config blocks reaches FFTConfig
     (regression: the adapter finetune example trained 0 params)."""
@@ -277,6 +281,7 @@ def test_energy_predictor_path():
     assert np.isfinite(np.asarray(out["energy_tgt"])).all()
 
 
+@pytest.mark.slow
 def test_dropout_stochasticity(model_and_params):
     model, params, (text, text_lens, spec, mel_lens, pitch, prior) = model_and_params
     kwargs = dict(
@@ -290,6 +295,7 @@ def test_dropout_stochasticity(model_and_params):
     np.testing.assert_allclose(np.asarray(o1["spect"]), np.asarray(o3["spect"]))
 
 
+@pytest.mark.slow
 def test_conformer_encoder_variant():
     d = 32
     fft = FFTConfig(
@@ -334,6 +340,7 @@ def test_rope_cache_properties():
     np.testing.assert_allclose(np.asarray(y)[:, 0], np.asarray(x)[:, 0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gst_reference_conditioning():
     d = 32
     ct = ("add",)

@@ -45,6 +45,7 @@ def test_forward_sum_matches_ctc_uniform_lens():
     assert abs(got - ref) < 1e-3, (got, ref)
 
 
+@pytest.mark.slow
 def test_forward_sum_matches_ctc_ragged():
     rng = np.random.default_rng(1)
     b, t_mel, t_text = 4, 57, 15
@@ -58,6 +59,7 @@ def test_forward_sum_matches_ctc_ragged():
     assert abs(got - ref) < 1e-3, (got, ref)
 
 
+@pytest.mark.slow
 def test_forward_sum_grad_is_finite():
     import jax
 

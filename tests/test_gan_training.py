@@ -58,6 +58,7 @@ def test_hifigan_generator_upsample_matches_hop(hifigan_setup):
     assert model.generator.upsample_factor == model.mel_cfg.hop_length
 
 
+@pytest.mark.slow
 def test_hifigan_gan_step_runs_and_improves(hifigan_setup):
     model, batch = hifigan_setup
     g_opt = build_optimizer({"name": "adamw", "lr": 2e-4, "betas": [0.8, 0.99]})
@@ -78,6 +79,7 @@ def test_hifigan_gan_step_runs_and_improves(hifigan_setup):
     assert mels[-1] < mels[0], mels
 
 
+@pytest.mark.slow
 def test_hifigan_shared_forward_step_matches_generic(hifigan_setup):
     """The single-forward vjp step must match the generic two-forward step
     exactly (same losses, same post-step params, same spectral-norm stats)."""
@@ -108,6 +110,7 @@ def test_hifigan_shared_forward_step_matches_generic(hifigan_setup):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hifigan_gan_step_bf16(hifigan_setup):
     """precision='bf16' computes with bfloat16 casts while keeping fp32
     master weights, optimizer state, and spectral-norm stats."""
@@ -132,6 +135,7 @@ def test_hifigan_gan_step_bf16(hifigan_setup):
         assert leaf.dtype == jnp.float32, leaf.dtype
 
 
+@pytest.mark.slow
 def test_spectral_norm_stats_update(hifigan_setup):
     model, batch = hifigan_setup
     g_opt = build_optimizer({"name": "adamw", "lr": 2e-4})
@@ -146,6 +150,7 @@ def test_spectral_norm_stats_update(hifigan_setup):
     )
 
 
+@pytest.mark.slow
 def test_convert_spectrogram_to_audio(hifigan_setup):
     model, batch = hifigan_setup
     g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)
@@ -154,6 +159,7 @@ def test_convert_spectrogram_to_audio(hifigan_setup):
     assert audio.shape == (1, 10 * model.generator.upsample_factor)
 
 
+@pytest.mark.slow
 def test_remat_disc_step_matches_default(hifigan_setup, monkeypatch):
     """ROAR_REMAT_DISC=1 (jax.checkpoint around the joint MPD+MSD apply,
     training/gan.py maybe_remat_disc) replays the same ops in backward —
@@ -250,6 +256,7 @@ def test_hifigan_gan_step_vocoder_tp_equivalence(hifigan_setup):
             )
 
 
+@pytest.mark.slow
 def test_vocoder_tp_rules_shard_the_channel_pyramid():
     """Fast-tier structural check: VOCODER_TP_RULES actually place the
     generator/discriminator channel dims on the 'model' axis (and leave

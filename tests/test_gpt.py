@@ -24,6 +24,7 @@ def tiny_cfg(**kw):
     return GPTConfig(**base)
 
 
+@pytest.mark.slow
 def test_rmsnorm():
     norm = RMSNorm()
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5, 8)), jnp.float32)
@@ -79,6 +80,7 @@ def test_gqa_head_counts():
     assert kernel.shape[1] == (4 + 2 * 1) * 8
 
 
+@pytest.mark.slow
 def test_generate():
     cfg = tiny_cfg()
     model = GPT(cfg)
@@ -116,6 +118,7 @@ def test_use_flash_falls_back_identically_off_tpu():
     )
 
 
+@pytest.mark.slow
 def test_scan_layers_matches_unrolled():
     """scan_layers=True (stacked h_scan params under lax.scan) produces the
     same logits as the unrolled loop given converted params, with and
@@ -169,6 +172,7 @@ def test_scan_layers_matches_unrolled():
     assert leading == {cfg.n_layer}
 
 
+@pytest.mark.slow
 def test_gpt_tp_equivalence_d1024():
     """GPT_TP_RULES (qkv/o/MLP column-row pairs + vocab-sharded embedding
     and head): a d=1024 train step gives the same loss and post-step params

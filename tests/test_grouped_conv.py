@@ -53,8 +53,18 @@ def test_forward_matches_lax(shape):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("shape", SHAPES[:3] + SHAPES[4:],
-                         ids=[str(s) for s in SHAPES[:3] + SHAPES[4:]])
+_GRAD_SHAPES = SHAPES[:3] + SHAPES[4:]
+# fast tier keeps one stride-2 grad case + the full 41-tap kernel width;
+# the rest are slow (interpret-mode VJP compiles are ~15 s each)
+_GRAD_FAST = {str(SHAPES[1]), str(SHAPES[6])}
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [pytest.param(s, id=str(s),
+                  marks=() if str(s) in _GRAD_FAST else (pytest.mark.slow,))
+     for s in _GRAD_SHAPES],
+)
 def test_gradients_match_lax(shape):
     b, wid, cin, cout, k, s, g, pad = shape
     rng = np.random.default_rng(1)

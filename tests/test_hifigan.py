@@ -1,6 +1,7 @@
 """HiFi-GAN module tests: shapes, upsampling factor, GAN losses, grads."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,7 @@ def tiny_generator():
     )
 
 
+@pytest.mark.slow
 def test_generator_upsamples_by_factor():
     g = tiny_generator()
     mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 20)), jnp.float32)
@@ -39,6 +41,7 @@ def test_generator_upsamples_by_factor():
     assert np.abs(np.asarray(audio)).max() <= 1.0  # tanh range
 
 
+@pytest.mark.slow
 def test_generator_v1_config_shape():
     # v1 from conf/hifigan/model/generator/v1.yaml: rates 8,8,2,2 channels 512
     g = Generator()
@@ -51,6 +54,7 @@ def test_generator_v1_config_shape():
     assert 13e6 < n_params < 16e6
 
 
+@pytest.mark.slow
 def test_mpd_msd_shapes_and_losses():
     rng = np.random.default_rng(1)
     y = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
@@ -88,6 +92,7 @@ def test_gan_loss_values():
     assert float(l1_mel_loss(jnp.ones((1, 4, 4)), jnp.ones((1, 4, 4)))) == 0.0
 
 
+@pytest.mark.slow
 def test_generator_gradients_flow():
     g = tiny_generator()
     mel = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 20)), jnp.float32)
@@ -135,6 +140,7 @@ def test_masked_grouped_conv_matches_native_grouped():
                                    rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dense_grouped_toggle_model_level(monkeypatch):
     """ROAR_DENSE_GROUPED reroutes DiscriminatorS's grouped convs through
     the block-diagonal dense lowering at module scope.  Whatever the
@@ -176,6 +182,35 @@ def test_dense_grouped_toggle_model_level(monkeypatch):
                                        rtol=2e-5, atol=2e-5)
 
 
+def test_dense_msd_variant_debug_structure():
+    """Fast sibling of the full-size dense-MSD test below: at debug channel
+    sizes the dense variant must keep the grouped stack's scale count,
+    per-layer fmap widths, and finite GAN losses (param-count parity at
+    production sizes is pinned by the slow test)."""
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    grouped = MultiScaleDiscriminator(debug=True)
+    dense = MultiScaleDiscriminator(debug=True, variant="dense")
+    vg = grouped.init(jax.random.PRNGKey(0), y, y_hat)
+    vd = dense.init(jax.random.PRNGKey(0), y, y_hat)
+    (rs_g, _, fr_g, _), _ = grouped.apply(
+        vg, y, y_hat, update_stats=True, mutable=["batch_stats"])
+    (rs_d, fs_d, fr_d, _), _ = dense.apply(
+        vd, y, y_hat, update_stats=True, mutable=["batch_stats"])
+    assert len(rs_d) == len(rs_g) == 3
+    for fg, fd in zip(fr_g, fr_d):
+        assert len(fd) == len(fg)
+        for a, b in zip(fg, fd):
+            assert a.shape[1] == b.shape[1]
+    from roar_tpu.losses.hifigan_losses import (
+        discriminator_loss as dl, generator_loss as gl)
+    d_loss, _, _ = dl(rs_d, fs_d)
+    g_loss, _ = gl(fs_d)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_loss))
+
+
+@pytest.mark.slow
 def test_dense_msd_variant_equal_params_and_structure():
     """The TPU-recommended dense MSD (DESIGN.md §7g item c): g=1 stacks at
     a (48, 96, 192, 384) pyramid.  Same depth / kernel sizes / strides /

@@ -77,6 +77,7 @@ def jets_setup():
     return model, batch
 
 
+@pytest.mark.slow
 def test_jets_gan_step(jets_setup):
     model, batch = jets_setup
     g_opt = build_optimizer({"name": "adamw", "lr": 2e-4}, gradient_clip_val=1000.0)
@@ -93,6 +94,7 @@ def test_jets_gan_step(jets_setup):
     assert int(jax.device_get(state.step)) == 3
 
 
+@pytest.mark.slow
 def test_jets_shared_forward_step_matches_generic(jets_setup):
     """The single-forward vjp step (training/gan.py
     make_shared_forward_gan_step) must be numerically identical to the
@@ -126,6 +128,7 @@ def test_jets_shared_forward_step_matches_generic(jets_setup):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_jets_segment_shapes(jets_setup):
     model, batch = jets_setup
     g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)
@@ -139,6 +142,7 @@ def test_jets_segment_shapes(jets_setup):
     )
 
 
+@pytest.mark.slow
 def test_jets_inference(jets_setup):
     model, batch = jets_setup
     g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)
@@ -149,6 +153,7 @@ def test_jets_inference(jets_setup):
     assert (np.asarray(frames) <= 128).all()
 
 
+@pytest.mark.slow
 def test_roar_tts_gan_step(jets_setup):
     from roar_tpu.models.roar_tts import RoarTTSModel
 
@@ -166,6 +171,7 @@ def test_roar_tts_gan_step(jets_setup):
         assert np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_jets_conformer_rope_gan_step(jets_setup):
     """Conformer/RoPE encoder+decoder variant (configs/jets_22050_conformer.yaml,
     BASELINE configs[4]): one GAN step trains and inference runs."""
@@ -197,6 +203,7 @@ def test_jets_conformer_rope_gan_step(jets_setup):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_speech_prompt_encoder():
     from roar_tpu.models.roar_tts import SpeechPromptEncoder
 

@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from roar_tpu.ops import binarize_attention, mas_width1
+import pytest
 
 
 def _oracle_mas(log_attn):
@@ -31,6 +32,7 @@ def _oracle_mas(log_attn):
     return opt
 
 
+@pytest.mark.slow
 def test_mas_matches_oracle_random():
     rng = np.random.default_rng(0)
     for trial in range(5):

@@ -11,6 +11,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from roar_tpu.models.moe import MoEMLP, expert_shardings
+import pytest
 
 B, T, D, E, FF, K = 2, 8, 16, 4, 32, 2
 
@@ -42,6 +43,7 @@ def _oracle(params, x):
     return out.reshape(B, T, D)
 
 
+@pytest.mark.slow
 def test_moe_matches_per_token_oracle():
     m, params, x = _init(capacity_factor=8.0)  # capacity ample: nothing drops
     out, aux = m.apply(params, x)
@@ -53,6 +55,7 @@ def test_moe_matches_per_token_oracle():
     np.testing.assert_allclose(float(jnp.sum(aux["expert_load"])), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_capacity_drops_are_passthrough_finite():
     m, params, x = _init(capacity_factor=0.25)  # force drops
     out, _ = m.apply(params, x)
@@ -64,6 +67,7 @@ def test_moe_capacity_drops_are_passthrough_finite():
     assert float(jnp.sum(out**2)) < float(jnp.sum(full_out**2))
 
 
+@pytest.mark.slow
 def test_moe_dp_x_ep_train_step():
     """Experts sharded 4-way over 'expert', batch 2-way over 'data'; one
     jitted SGD step runs under GSPMD and the loss decreases."""

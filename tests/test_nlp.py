@@ -39,6 +39,7 @@ class TestBert:
         assert seq.shape == (2, 10, 32)
         assert pooled.shape == (2, 32)
 
+    @pytest.mark.slow
     def test_bidirectional_context(self):
         """Unlike GPT, changing a LATER token changes an EARLIER position's
         representation (no causal mask)."""
@@ -53,6 +54,7 @@ class TestBert:
         s2, _ = enc.apply(params, jnp.asarray(t2))
         assert not np.allclose(np.asarray(s1)[0, 0], np.asarray(s2)[0, 0])
 
+    @pytest.mark.slow
     def test_padding_is_masked_out(self):
         """A padded suffix must not change valid positions' outputs."""
         cfg = tiny_bert(add_pooling_layer=False)
@@ -195,6 +197,7 @@ class TestGenerateTokens:
             if len(hits):
                 assert (row[hits[0]:] == 0).all(), row
 
+    @pytest.mark.slow
     def test_text_generation_interface(self, gpt_setup):
         from roar_tpu.models.text_generation import TextGeneration
 
@@ -296,6 +299,7 @@ def test_registry_all_entries_shape_check():
         _shape_check(name, cfg)
 
 
+@pytest.mark.slow
 def test_new_architecture_knobs_forward():
     """Real (materialized) forwards through the newly-honored knobs:
     LayerNorm + biases + shared_attention_norm (phi style), GemmaMLP +

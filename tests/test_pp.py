@@ -64,6 +64,7 @@ def test_pipeline_forward_matches_sequential():
     )
 
 
+@pytest.mark.slow
 def test_pipeline_grad_matches_sequential():
     params = _make_params(jax.random.PRNGKey(2))
     x = jax.random.normal(jax.random.PRNGKey(3), (8, FEAT))
@@ -121,6 +122,7 @@ def test_pipeline_dp_x_pp_trains():
     assert float(loss2) < float(loss)
 
 
+@pytest.mark.slow
 def test_pipelined_gpt_matches_sequential():
     """pipelined_gpt_apply produces the exact logits of the plain GPT
     forward from the same param tree (pipe=4 stages over 8 blocks), and a

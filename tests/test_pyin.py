@@ -40,6 +40,7 @@ def _sine(freq, sr, dur, amp=0.5):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pyin_tracks_sine():
     cfg = SMALL
     f_true = 220.0
@@ -53,6 +54,7 @@ def test_pyin_tracks_sine():
     assert np.median(rel_err) < 0.01
 
 
+@pytest.mark.slow
 def test_pyin_silence_is_unvoiced():
     cfg = SMALL
     x = np.zeros(4000, np.float32)
@@ -61,6 +63,7 @@ def test_pyin_silence_is_unvoiced():
     assert (np.asarray(f0) == cfg.fill_na).all()
 
 
+@pytest.mark.slow
 def test_pyin_mixed_voiced_unvoiced():
     cfg = SMALL
     sr = cfg.sample_rate
@@ -82,6 +85,7 @@ def test_pyin_mixed_voiced_unvoiced():
     assert voiced[head].mean() < 0.3
 
 
+@pytest.mark.slow
 def test_pyin_batched_matches_single():
     cfg = SMALL
     x1 = _sine(196.0, cfg.sample_rate, 0.4)
@@ -103,6 +107,7 @@ def test_pyin_batched_matches_single():
     assert not np.asarray(v_b)[1, t2:].any()
 
 
+@pytest.mark.slow
 def test_pyin_variable_length_masking():
     cfg = SMALL
     x = _sine(110.0, cfg.sample_rate, 0.5)
@@ -196,6 +201,7 @@ def test_trough_probabilities_match_oracle():
         np.testing.assert_allclose(got[t], ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_observation_probs_sum_to_one():
     cfg = SMALL
     rng = np.random.default_rng(3)
@@ -293,6 +299,7 @@ def test_banded_viterbi_matches_dense():
     assert (got == ref).mean() > 0.98  # identical up to float ties
 
 
+@pytest.mark.slow
 def test_cpu_reference_agrees_with_device():
     from roar_tpu.ops.pyin_reference import pyin_cpu
 
@@ -312,6 +319,7 @@ def test_cpu_reference_agrees_with_device():
         assert np.median(rel) < 0.01
 
 
+@pytest.mark.slow
 def test_pallas_viterbi_matches_xla_interpret():
     """The Pallas banded-Viterbi kernel (interpret mode on CPU) decodes
     identically to the XLA scan implementation."""
@@ -363,6 +371,7 @@ class TestOptimizedKernels:
         yin = cumulative_mean_normalized_difference(frames, cfg)
         return yin.reshape(-1, yin.shape[-1]), cfg
 
+    @pytest.mark.slow
     def test_compact_troughs_match_dense(self):
         from roar_tpu.ops.pyin import (
             trough_probabilities,
@@ -509,6 +518,7 @@ def _score_golden(name, f0, voiced, z):
     assert gross <= max_gross, f"{name}: gross-error rate {gross:.3f} > {max_gross}"
 
 
+@pytest.mark.slow
 def test_pyin_golden_fixtures():
     """Device pyin vs committed golden fixtures (production 22.05 kHz config,
     frame_length 2048 / hop 512 — the PitchFeaturizer shape, reference

@@ -107,6 +107,7 @@ def test_train_supervised_aligner_end_to_end(corpus):
     assert (durs.sum(-1) > 0).all()
 
 
+@pytest.mark.slow
 def test_train_supervised_early_stopping(corpus):
     """create_early_stopping_callback stops training before max_epochs when
     the monitored val metric plateaus (ref exp_manager.py:434-436): with an
@@ -142,6 +143,7 @@ def test_train_supervised_early_stopping(corpus):
     assert int(np.asarray(jax.device_get(state.step))) == 2  # stopped early
 
 
+@pytest.mark.slow
 def test_train_gan_hifigan_end_to_end(corpus):
     """train_gan glue: VocoderDataset -> HifiGanModel for one epoch."""
     from roar_tpu.data import VocoderDataset

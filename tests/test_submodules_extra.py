@@ -125,6 +125,7 @@ class TestInvertible1x1Conv:
 
 
 class TestWaveGlowWaveNet:
+    @pytest.mark.slow
     def test_zero_init_end_and_shapes(self):
         m = WaveGlowWaveNet(
             n_in_channels=4, n_mel_channels=10, n_layers=3, n_channels=16,

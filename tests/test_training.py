@@ -310,6 +310,7 @@ def test_batch_sharding_over_mesh(fp_setup):
     np.testing.assert_array_equal(np.asarray(out)[2:], np.broadcast_to(ragged[-1], (6, 2)))
 
 
+@pytest.mark.slow
 def test_ragged_final_batch_trains(fp_setup):
     """An epoch whose final batch is smaller than data_axis x per-device
     batch still trains to completion on the virtual mesh (VERDICT r1 #6):
@@ -330,6 +331,7 @@ def test_ragged_final_batch_trains(fp_setup):
     assert np.isfinite(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_step(fp_setup):
     model, ds, batch = fp_setup
     params = model.init_params(jax.random.PRNGKey(2), batch)
@@ -344,6 +346,7 @@ def test_bf16_mixed_precision_step(fp_setup):
     assert all(l.dtype == jnp.float32 for l in leaves if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
 
 
+@pytest.mark.slow
 def test_grad_accumulation(fp_setup):
     model, ds, batch = fp_setup
     params = model.init_params(jax.random.PRNGKey(3), batch)
@@ -369,6 +372,7 @@ def test_grad_accumulation(fp_setup):
     assert changed
 
 
+@pytest.mark.slow
 def test_tensor_parallel_fastpitch_step(fp_setup):
     """Real TP: FFT-block params sharded over the mesh 'model' axis via
     GSPMD; one train step on a (data=2, model=2) mesh."""
@@ -456,6 +460,7 @@ def test_evaluate_autojits_and_caches():
     assert len(trainer._jitted_evals) == 1
 
 
+@pytest.mark.slow
 def test_interpolate_speaker():
     """FastPitchModel.interpolate_speaker blends two speaker rows into a
     third slot, functionally (ref models/fastpitch.py:904-955)."""

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from roar_tpu.ops.splines import unconstrained_rational_quadratic_spline
 
 
+@pytest.mark.slow
 def test_spline_invertibility():
     rng = np.random.default_rng(0)
     shape = (4, 16)
@@ -52,6 +53,7 @@ def test_residual_coupling_invertible():
     np.testing.assert_allclose(np.asarray(logdet), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_conv_flow_invertible():
     from roar_tpu.models.vits import ConvFlow
 
@@ -110,6 +112,7 @@ def vits_setup():
     return model, batch
 
 
+@pytest.mark.slow
 def test_vits_forward_and_kl(vits_setup):
     from roar_tpu.models.vits_model import kl_loss
 
@@ -128,6 +131,7 @@ def test_vits_forward_and_kl(vits_setup):
     assert np.isfinite(np.asarray(out["l_length"])).all()
 
 
+@pytest.mark.slow
 def test_vits_gan_step(vits_setup):
     from roar_tpu.training.optim import build_optimizer
 
@@ -141,6 +145,7 @@ def test_vits_gan_step(vits_setup):
         assert np.isfinite(float(metrics[k])), (k, float(metrics[k]))
 
 
+@pytest.mark.slow
 def test_vits_inference(vits_setup):
     model, batch = vits_setup
     g_params, _, _ = model.init_params(jax.random.PRNGKey(0), batch)

@@ -26,6 +26,7 @@ def tiny_inputs(seed=0):
 
 
 class TestWaveGlowModule:
+    @pytest.mark.slow
     def test_forward_shapes_and_identity_init(self):
         mod = tiny_module()
         audio, mel = tiny_inputs()
@@ -35,6 +36,7 @@ class TestWaveGlowModule:
         # zero-init couplings + orthonormal 1x1 convs: log_det ~ 0 at init
         assert abs(float(log_det)) < 1.0
 
+    @pytest.mark.slow
     def test_exact_invertibility(self):
         """reverse(forward(audio)) == audio.  Exact in the algebra (verified
         3e-16 in float64); fp32 exp/log couplings leave ~1e-2 drift with
@@ -53,6 +55,7 @@ class TestWaveGlowModule:
         back = mod.apply(params, z, mel, method=WaveGlowModule.reverse)
         np.testing.assert_allclose(np.asarray(back), np.asarray(audio), atol=2e-2)
 
+    @pytest.mark.slow
     def test_infer_shape_and_determinism(self):
         mod = tiny_module()
         audio, mel = tiny_inputs()
@@ -67,6 +70,7 @@ class TestWaveGlowModule:
                          method=WaveGlowModule.infer)
         np.testing.assert_allclose(np.asarray(wav), np.asarray(wav2), atol=1e-5)
 
+    @pytest.mark.slow
     def test_loss_and_grads(self):
         mod = tiny_module()
         audio, mel = tiny_inputs()
@@ -84,6 +88,7 @@ class TestWaveGlowModule:
 
 
 class TestWaveGlowModel:
+    @pytest.mark.slow
     def test_train_objective_and_synthesis(self):
         model = WaveGlowModel(
             {
