@@ -188,6 +188,13 @@ class FastPitchModel:
 
         self.bin_loss_warmup_epochs = cfg.get("bin_loss_warmup_epochs", 100)
         self.aligner_loss_scale = cfg.get("aligner_loss_scale", 1.0)
+        # reference default (models/fastpitch.py:117-120): prosody losses
+        # are scaled 0.1 when alignment is learned, 1.0 in the
+        # given-durations regime
+        default_prosody_scale = 0.1 if self.learn_alignment else 1.0
+        self.dur_loss_scale = cfg.get("dur_loss_scale", default_prosody_scale)
+        self.pitch_loss_scale = cfg.get("pitch_loss_scale", default_prosody_scale)
+        self.energy_loss_scale = cfg.get("energy_loss_scale", default_prosody_scale)
 
     # ------------------------------------------------------------------
     def _spec_from_batch(self, audio, audio_len, batch):
@@ -266,16 +273,25 @@ class FastPitchModel:
         durs_tgt = (
             out["attn_hard_dur"] if self.learn_alignment else batch.get("durations")
         )
-        l_dur = duration_loss(out["log_durs_predicted"], durs_tgt, text_lens)
+        l_dur = duration_loss(
+            out["log_durs_predicted"], durs_tgt, text_lens,
+            loss_scale=self.dur_loss_scale,
+        )
         loss = l_mel + l_dur
         metrics = {"mel_loss": l_mel, "dur_loss": l_dur}
 
         if out["pitch"] is not None:
-            l_pitch = pitch_loss(out["pitch_predicted"], out["pitch"], text_lens)
+            l_pitch = pitch_loss(
+                out["pitch_predicted"], out["pitch"], text_lens,
+                loss_scale=self.pitch_loss_scale,
+            )
             loss = loss + l_pitch
             metrics["pitch_loss"] = l_pitch
         if out["energy_pred"] is not None and out["energy_tgt"] is not None:
-            l_energy = energy_loss(out["energy_pred"], out["energy_tgt"], text_lens)
+            l_energy = energy_loss(
+                out["energy_pred"], out["energy_tgt"], text_lens,
+                loss_scale=self.energy_loss_scale,
+            )
             loss = loss + l_energy
             metrics["energy_loss"] = l_energy
 
@@ -283,8 +299,10 @@ class FastPitchModel:
             ctc = forward_sum_loss(
                 out["attn_logprob"], text_lens, mel_lens, loss_scale=self.aligner_loss_scale
             )
+            # reference warmup (models/fastpitch.py:473-475):
+            # min(current_epoch / warmup, 1.0) — zero at epoch 0
             bin_w = jnp.minimum(
-                (epoch + 1.0) / max(self.bin_loss_warmup_epochs, 1), 1.0
+                epoch / max(self.bin_loss_warmup_epochs, 1), 1.0
             )
             l_bin = bin_loss(out["attn_hard"], out["attn_soft"]) * bin_w * self.aligner_loss_scale
             loss = loss + ctc + l_bin

@@ -233,11 +233,25 @@ def install_reference_stubs() -> None:
     _mod("flash_attn")
     _mod("xentropy_cuda_lib")
 
-    # ---- librosa (helpers.py imports it; parity tests don't call it) --
+    # ---- librosa ------------------------------------------------------
+    # helpers.py only imports it, but the training-step equivalence tests
+    # RUN the reference FilterbankFeatures, whose __init__ builds the mel
+    # filterbank via librosa.filters.mel (features.py:298-308).  Our
+    # mel_filterbank is the same slaney math (pinned by torch.stft golden
+    # tests), so back the stub with it.
+    def _librosa_mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None,
+                     htk=False, norm="slaney", dtype=None):
+        from roar_tpu.ops.spectrogram import mel_filterbank
+
+        return mel_filterbank(
+            sample_rate=sr, n_fft=n_fft, n_mels=n_mels, fmin=fmin,
+            fmax=fmax, norm=norm, htk=htk,
+        )
+
     librosa = _mod("librosa")
     librosa.stft = None
     _mod("librosa.core")
-    _mod("librosa.filters", mel=None)
+    _mod("librosa.filters", mel=_librosa_mel)
     librosa.filters = sys.modules["librosa.filters"]
 
     # ---- numba: @jit/@prange must behave as pass-throughs -------------
@@ -287,7 +301,13 @@ def install_reference_stubs() -> None:
     _mod("text_unidecode", unidecode=lambda s: s)
     _mod("wget", download=lambda *a, **k: None)
     _mod("wandb")
-    _mod("soundfile", read=None, write=None, SoundFile=None)
+    _mod(
+        "soundfile",
+        read=None,
+        write=None,
+        SoundFile=None,
+        available_formats=lambda: {},  # features.py -> segment.py probes codecs
+    )
 
     # ---- Python 3.12 dataclass strictness -----------------------------
     # The reference (written for older Python) uses dataclass instances as
@@ -328,6 +348,7 @@ def install_reference_stubs() -> None:
 
     for dotted in (
         "roar.collections.tts",
+        "roar.collections.tts.models",  # its __init__ imports the broken jets.py
         "roar.collections.nlp",
         "roar.collections.common",
         "roar.collections.asr",
