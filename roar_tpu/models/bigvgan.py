@@ -205,9 +205,12 @@ class BigVGANGenerator(nn.Module):
         )(x)
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
+            # feature_axes=1: torch weight_norm dim=0 is the in axis for
+            # ConvTranspose1d — see models/hifigan.py Generator ups
             x = nn.WeightNorm(
                 nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME",
                                  kernel_init=_normal_init),
+                feature_axes=1,
                 name=f"ups_{i}",
             )(x)
             xs = jnp.zeros_like(x)

@@ -59,6 +59,21 @@ _PALLAS_GROUPED = os.environ.get("ROAR_PALLAS_GROUPED", "auto")
 # f=1 for A/Bs.
 _GC_PHASE_PACK = os.environ.get("ROAR_GC_PHASE_PACK", "1")
 
+# Joint real/fake discriminator batching: run each sub-discriminator ONCE
+# on concat([y, y_hat]) instead of twice (the reference loops d(y), d(y_hat)
+# separately, hifigan_modules.py:375-388/465-476).  Convs are per-sample, so
+# scores and feature maps are bit-identical up to the batch split; it halves
+# the pallas_call count (amortizing the measured per-call floors, DESIGN.md
+# §7g) and doubles the matmul batch of every discriminator conv.  One
+# documented semantic nuance: with update_stats=True the MSD's scale-0
+# spectral norm runs ONE power iteration per step instead of two (identical
+# at a converged u — the fixed point of the iteration; the train-equivalence
+# envelope in tests/test_train_equivalence.py covers the transient).
+def _disc_joint() -> bool:
+    # read at trace time (not import) so equivalence tests can pin the
+    # two-call path, whose per-call power-iteration count matches torch
+    return os.environ.get("ROAR_DISC_JOINT", "1") not in ("0", "false", "False")
+
 _normal_init = nn.initializers.normal(stddev=0.01)
 
 
@@ -279,6 +294,12 @@ class Generator(nn.Module):
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = _lrelu(x)
+            # feature_axes=1 (the INPUT-channel axis of the [k, in, out]
+            # kernel): torch weight_norm's default dim=0 is the in axis for
+            # ConvTranspose1d ([in, out, k], hifigan_modules.py:190-199).
+            # Same function either way, but matching the grouping keeps the
+            # (g, v) training geometry — and therefore gradients and SGD
+            # trajectories — aligned with reference checkpoints.
             x = nn.WeightNorm(
                 nn.ConvTranspose(
                     ch,
@@ -287,6 +308,7 @@ class Generator(nn.Module):
                     padding="SAME",
                     kernel_init=_normal_init,
                 ),
+                feature_axes=1,
                 name=f"ups_{i}",
             )(x)
             xs = jnp.zeros_like(x)
@@ -355,10 +377,17 @@ class MultiPeriodDiscriminator(nn.Module):
     def __call__(self, y, y_hat):
         chs = (8, 12, 32, 64) if self.debug else (32, 128, 512, 1024)
         real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
+        nb = y.shape[0]
         for p in self.periods:
             d = DiscriminatorP(p, conv_channels=chs, name=f"disc_p{p}")
-            sr, fr = d(y)
-            sg, fg = d(y_hat)
+            if _disc_joint():
+                s2, f2 = d(jnp.concatenate([y, y_hat], axis=0))
+                sr, sg = s2[:nb], s2[nb:]
+                fr = [t[:nb] for t in f2]
+                fg = [t[nb:] for t in f2]
+            else:
+                sr, fr = d(y)
+                sg, fg = d(y_hat)
             real_scores.append(sr)
             fake_scores.append(sg)
             real_fmaps.append(fr)
@@ -496,14 +525,22 @@ class MultiScaleDiscriminator(nn.Module):
         else:
             chs = (128, 256, 512, 1024)
         real_scores, fake_scores, real_fmaps, fake_fmaps = [], [], [], []
+        nb = y.shape[0]
         for i in range(3):
             if i != 0:
                 y = _avg_pool_1d(y)
                 y_hat = _avg_pool_1d(y_hat)
             d = DiscriminatorS(use_spectral_norm=(i == 0), conv_channels=chs,
                                dense=dense, name=f"disc_s{i}")
-            sr, fr = d(y, update_stats=update_stats)
-            sg, fg = d(y_hat, update_stats=update_stats)
+            if _disc_joint():
+                s2, f2 = d(jnp.concatenate([y, y_hat], axis=0),
+                           update_stats=update_stats)
+                sr, sg = s2[:nb], s2[nb:]
+                fr = [t[:nb] for t in f2]
+                fg = [t[nb:] for t in f2]
+            else:
+                sr, fr = d(y, update_stats=update_stats)
+                sg, fg = d(y_hat, update_stats=update_stats)
             real_scores.append(sr)
             fake_scores.append(sg)
             real_fmaps.append(fr)

