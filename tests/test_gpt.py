@@ -175,9 +175,12 @@ def test_scan_layers_matches_unrolled():
 @pytest.mark.slow
 def test_gpt_tp_equivalence_d1024():
     """GPT_TP_RULES (qkv/o/MLP column-row pairs + vocab-sharded embedding
-    and head): a d=1024 train step gives the same loss and post-step params
-    on mesh(data=8, model=1) and mesh(data=4, model=2) — on both the
-    unrolled and scan-stacked layouts."""
+    and head), multi-step falsifying form (VERDICT r4 #8): TEN d=1024 SGD
+    steps on mesh(8,1), on mesh(8,1) with reversed device order (the
+    legitimate fp-reassociation control), and on mesh(4,2).  The tp run
+    must stay inside the control envelope at every step — a small
+    systematic sharding error compounds over steps; reassociation noise
+    does not.  Runs on both the unrolled and scan-stacked layouts."""
     import dataclasses
 
     from roar_tpu.parallel import (
@@ -194,6 +197,7 @@ def test_gpt_tp_equivalence_d1024():
     rng = np.random.default_rng(0)
     tok = jnp.asarray(rng.integers(0, 256, (8, 64)), jnp.int32)
     tgt = jnp.asarray(rng.integers(0, 256, (8, 64)), jnp.int32)
+    n_steps = 10
 
     for scan in (False, True):
         model = GPT(dataclasses.replace(cfg, scan_layers=scan))
@@ -212,23 +216,37 @@ def test_gpt_tp_equivalence_d1024():
             new_p = jax.tree_util.tree_map(lambda w, gw: w - 0.1 * gw, p, g)
             return l, new_p
 
-        results = []
-        for dp, tp in [(8, 1), (4, 2)]:
-            mesh = make_mesh(data=dp, model=tp)
+        def run(mesh):
             p = jax.tree_util.tree_map(np.copy, params0)
             shardings = tp_param_shardings(p, mesh, GPT_TP_RULES)
             p = jax.tree_util.tree_map(jax.device_put, p, shardings)
             b = shard_batch({"tok": tok, "tgt": tgt}, mesh)
-            l, new_p = step(p, b["tok"], b["tgt"])
-            results.append((float(l), jax.device_get(new_p)))
+            losses = []
+            for _ in range(n_steps):
+                l, p = step(p, b["tok"], b["tgt"])
+                losses.append(float(l))
+            return np.asarray(losses), jax.device_get(p)
 
-        (l_dp, p_dp), (l_tp, p_tp) = results
-        assert l_dp == pytest.approx(l_tp, rel=1e-5), (scan, l_dp, l_tp)
-        flat_dp = jax.tree_util.tree_leaves_with_path(p_dp)
-        flat_tp = jax.tree_util.tree_leaves(p_tp)
-        assert len(flat_dp) == len(flat_tp)
-        for (kp, a), b_ in zip(flat_dp, flat_tp):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5,
-                err_msg=f"scan={scan} {jax.tree_util.keystr(kp)}",
-            )
+        devs = list(jax.devices())
+        l_a, p_a = run(make_mesh(data=8, model=1))
+        l_c, p_c = run(make_mesh(data=8, model=1, devices=devs[::-1]))
+        l_b, p_b = run(make_mesh(data=4, model=2))
+
+        scale = np.abs(l_a) + 1e-9
+        ctrl = np.abs(l_a - l_c) / scale
+        err = np.abs(l_a - l_b) / scale
+        tol = np.maximum(64.0 * ctrl, 1e-4)
+        assert (err <= tol).all(), (
+            f"scan={scan}: err={err}\nctrl={ctrl}\ntol={tol}")
+
+        def max_rel(tx, ty):
+            worst = 0.0
+            for x, y in zip(jax.tree_util.tree_leaves(tx),
+                            jax.tree_util.tree_leaves(ty)):
+                x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+                denom = np.maximum(np.abs(x).max(), 1e-3)
+                worst = max(worst, float(np.abs(x - y).max() / denom))
+            return worst
+
+        ctrl_p, err_p = max_rel(p_a, p_c), max_rel(p_a, p_b)
+        assert err_p <= max(64.0 * ctrl_p, 5e-4), (scan, err_p, ctrl_p)
