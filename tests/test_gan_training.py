@@ -197,16 +197,28 @@ def test_remat_disc_step_matches_default(hifigan_setup, monkeypatch):
 
 @pytest.mark.slow
 def test_hifigan_gan_step_vocoder_tp_equivalence(hifigan_setup):
-    """Vocoder-channel tensor parallelism (SURVEY §2.10): the full HiFi-GAN
-    GAN step — generator + MPD + MSD, both optimizer updates — produces the
-    same losses and post-step parameters on mesh(data=8, model=1) and
-    mesh(data=4, model=2) with VOCODER_TP_RULES param placement.  The rules
-    are GSPMD shardings, so a wrong spec would silently change numerics,
-    not crash; this pins them.  SGD keeps the comparison on raw gradients,
-    and the comparison is a SINGLE step: post-step params equal grads up to
-    lr, while a second step lets the adversarial coupling amplify partition
-    fp-reassociation noise to ~1e-3 (measured) without any rule being
-    wrong."""
+    """Vocoder-channel tensor parallelism (SURVEY §2.10), multi-step
+    falsifying form (VERDICT r4 #8): TEN full GAN steps — generator + MPD +
+    MSD, both optimizer updates — on three configurations:
+
+      A  mesh(data=8, model=1), the baseline
+      A' mesh(data=8, model=1) from an init perturbed by RELATIVE 1e-7
+         noise — the measured scale of the tp run's step-0 fp deviation —
+         whose per-step growth CALIBRATES how fast the adversarial
+         dynamics amplify legitimate fp noise (measured here: 1e-7 at
+         step 0 grows to O(0.1) by step 9, Lyapunov-style; a same-mesh
+         reversed-device-order control was measured to be BIT-IDENTICAL
+         on this backend, i.e. useless as an envelope)
+      B  mesh(data=4, model=2) with VOCODER_TP_RULES param placement
+
+    The rules are GSPMD shardings, so a wrong spec silently changes
+    numerics instead of crashing.  The discriminating statistics: (1) the
+    step-0 deviation must sit at fp-noise scale (a sign-flipped or
+    misplaced sharding shows up ~1e4x above it), and (2) every later
+    step's deviation must stay inside the noise-growth envelope the
+    control measures — a systematic error rides the same amplification,
+    so its curve sits a constant factor above the control's until
+    saturation, escaping the envelope at every pre-saturation step."""
     from roar_tpu.parallel import (
         VOCODER_TP_RULES,
         make_mesh,
@@ -225,35 +237,54 @@ def test_hifigan_gan_step_vocoder_tp_equivalence(hifigan_setup):
 
     g_opt = build_optimizer({"name": "sgd", "lr": 1e-3})
     d_opt = build_optimizer({"name": "sgd", "lr": 1e-3})
+    n_steps = 10
+    noise_rel = 1e-7
 
-    results = []
-    for dp, tp in [(8, 1), (4, 2)]:
-        mesh = make_mesh(data=dp, model=tp)
+    def run(mesh, perturb=False):
         state = model.init_state(jax.random.PRNGKey(0), batch, g_opt, d_opt)
+        if perturb:
+            leaves, treedef = jax.tree_util.tree_flatten(state.g_params)
+            keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+            leaves = [
+                x * (1.0 + noise_rel * jax.random.normal(k, x.shape, x.dtype))
+                if jnp.issubdtype(x.dtype, jnp.floating) else x
+                for x, k in zip(leaves, keys)
+            ]
+            state = state.replace(
+                g_params=jax.tree_util.tree_unflatten(treedef, leaves))
         shardings = tp_param_shardings(state, mesh, VOCODER_TP_RULES)
         state = jax.tree_util.tree_map(jax.device_put, state, shardings)
         sbatch = shard_batch(batch, mesh)
         step = model.make_train_step(g_opt, d_opt)
-        state, metrics = step(state, sbatch, jax.random.PRNGKey(1), 0)
-        results.append((
-            {k: float(v) for k, v in metrics.items()},
-            jax.device_get(state.g_params),
-            jax.device_get(state.d_params),
-        ))
+        losses = []
+        for i in range(n_steps):
+            state, metrics = step(state, sbatch, jax.random.PRNGKey(1), 0)
+            losses.append([float(metrics["d_loss"]), float(metrics["g_loss"]),
+                           float(metrics["g_mel_loss"])])
+        return (np.asarray(losses), jax.device_get(state.g_params),
+                jax.device_get(state.d_params))
 
-    (m_dp, gp_dp, dp_dp), (m_tp, gp_tp, dp_tp) = results
-    for k in m_dp:
-        np.testing.assert_allclose(m_dp[k], m_tp[k], rtol=2e-4, atol=1e-6,
-                                   err_msg=k)
-    for tree_a, tree_b in ((gp_dp, gp_tp), (dp_dp, dp_tp)):
-        flat_a = jax.tree_util.tree_leaves_with_path(tree_a)
-        flat_b = jax.tree_util.tree_leaves(tree_b)
-        assert len(flat_a) == len(flat_b)
-        for (kp, a), b in zip(flat_a, flat_b):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
-                err_msg=jax.tree_util.keystr(kp),
-            )
+    l_a, gp_a, dp_a = run(make_mesh(data=8, model=1))
+    l_c, gp_c, dp_c = run(make_mesh(data=8, model=1), perturb=True)
+    l_b, gp_b, dp_b = run(make_mesh(data=4, model=2))
+
+    scale = np.abs(l_a) + 1e-9
+    ctrl = np.abs(l_a - l_c) / scale   # noise-growth calibration curve
+    err = np.abs(l_a - l_b) / scale
+
+    # (1) step 0: raw fp-noise scale, no growth yet (measured ~1e-7 here)
+    assert (err[0] <= 2e-4).all(), f"step-0 tp deviation too large: {err[0]}"
+    # (2) later steps: inside the measured noise-growth envelope.  The
+    # control saturates near O(1) once trajectories decorrelate; past that
+    # point (ctrl > 0.05) the comparison carries no signal and the row is
+    # skipped (err saturates at the same place).
+    grow = np.maximum.accumulate(np.maximum(256.0 * ctrl, 2e-4), axis=0)
+    live = ctrl <= 0.05
+    bad = live & (err > grow)
+    assert not bad.any(), (
+        f"tp run left the noise-growth envelope:\nerr={err}\nctrl={ctrl}\n"
+        f"tol={grow}\nlive={live}"
+    )
 
 
 @pytest.mark.slow
