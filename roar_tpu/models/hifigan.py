@@ -380,7 +380,7 @@ class MultiPeriodDiscriminator(nn.Module):
         nb = y.shape[0]
         for p in self.periods:
             d = DiscriminatorP(p, conv_channels=chs, name=f"disc_p{p}")
-            if _disc_joint():
+            if _disc_joint() and y.shape == y_hat.shape:
                 s2, f2 = d(jnp.concatenate([y, y_hat], axis=0))
                 sr, sg = s2[:nb], s2[nb:]
                 fr = [t[:nb] for t in f2]
@@ -532,7 +532,10 @@ class MultiScaleDiscriminator(nn.Module):
                 y_hat = _avg_pool_1d(y_hat)
             d = DiscriminatorS(use_spectral_norm=(i == 0), conv_channels=chs,
                                dense=dense, name=f"disc_s{i}")
-            if _disc_joint():
+            # joint batching needs equal shapes (mixed-length eval calls —
+            # e.g. comparing a generator output against a different-length
+            # reference — fall back to the two-call path)
+            if _disc_joint() and y.shape == y_hat.shape:
                 s2, f2 = d(jnp.concatenate([y, y_hat], axis=0),
                            update_stats=update_stats)
                 sr, sg = s2[:nb], s2[nb:]

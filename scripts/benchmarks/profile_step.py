@@ -82,6 +82,55 @@ def build_step(model_name: str, batch: int, precision):
         step = model.make_train_step(g_opt, d_opt, precision=precision)
         return step, (state, batch_d, jax.random.PRNGKey(1), 0)
 
+    if model_name == "gpt1b":
+        # the exact bench_gpt_1b step (train_step_bench.py): tiny-llama-1.1b,
+        # scan+remat+flash+bf16, grad accumulation — the step whose 43.7%
+        # model-FLOPs MFU needs trace attribution (cost_analysis cannot see
+        # through the scanned/donated program; VERDICT r4 #5)
+        import optax
+        from functools import partial as _partial
+
+        from roar_tpu.models.gpt import GPT, config_from_name
+        from roar_tpu.training.trainer import cast_floating
+
+        seq, accum = 4096, 4
+        cfg = config_from_name("tiny-llama-1.1b", block_size=seq,
+                               scan_layers=True, remat=True, use_flash=True)
+        model = GPT(cfg)
+        B, S, K = max(1, batch // 16), seq, accum
+        toks = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (K, B, S)), jnp.int32)
+        tgts = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (K, B, S)), jnp.int32)
+        params = cast_floating(
+            jax.jit(model.init)(jax.random.PRNGKey(0), toks[0]), jnp.bfloat16)
+        opt = optax.adamw(3e-4, b1=0.9, b2=0.95, mu_dtype=jnp.bfloat16)
+        opt_state = jax.jit(opt.init)(params)
+
+        def loss_fn(p, tok, tgt):
+            logits = model.apply(p, tok).astype(jnp.float32)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        @_partial(jax.jit, donate_argnums=(0,))
+        def step(state, toks, tgts):
+            params, opt_state = state
+
+            def acc(g_sum, mb):
+                tok, tgt = mb
+                l, g = jax.value_and_grad(loss_fn)(params, tok, tgt)
+                return jax.tree_util.tree_map(jnp.add, g_sum, g), l
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            g_sum, losses = jax.lax.scan(acc, zeros, (toks, tgts))
+            g_mean = jax.tree_util.tree_map(lambda g: g / K, g_sum)
+            updates, opt_state = opt.update(g_mean, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), {
+                "loss": jnp.mean(losses)
+            }
+
+        return step, ((params, opt_state), toks, tgts)
+
     if model_name == "fastpitch":
         from roar_tpu.models.fastpitch_model import FastPitchModel
         from roar_tpu.training.trainer import Trainer
@@ -213,7 +262,8 @@ def phase_table(ops):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="hifigan",
-                   choices=["hifigan", "jets", "jets_conformer", "fastpitch"])
+                   choices=["hifigan", "jets", "jets_conformer", "fastpitch",
+                            "gpt1b"])
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--precision", default="bf16", choices=["bf16", "none"])
     p.add_argument("--steps", type=int, default=3)
