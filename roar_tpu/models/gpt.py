@@ -635,7 +635,13 @@ class GPT(nn.Module):
     config: GPTConfig
 
     @nn.compact
-    def __call__(self, tokens, pos_offset=0, kv_caches=None, mask=None):
+    def __call__(self, tokens, pos_offset=0, kv_caches=None, mask=None,
+                 return_hidden: bool = False):
+        """``return_hidden=True`` skips the lm_head projection and returns
+        the post-ln_f hiddens [B, T, D] — the input the fused
+        cross-entropy loss (ops/fused_ce.py) projects tile-by-tile so the
+        [B, T, V] logits never hit HBM.  Init always runs the default path
+        so lm_head parameters exist either way."""
         cfg = self.config
         x = nn.Embed(cfg.padded_vocab, cfg.n_embd, name="wte")(tokens)
         if cfg.scale_embeddings:  # Gemma
@@ -676,6 +682,12 @@ class GPT(nn.Module):
                 x, nc = block_cls(cfg, name=f"h_{i}")(x, pos_offset, cache_i, mask)
                 new_caches.append(nc)
         x = _make_norm(cfg, "ln_f")(x)
+        if return_hidden:
+            if self.is_initializing():
+                # still create lm_head so params are path-independent
+                nn.Dense(cfg.padded_vocab, use_bias=cfg.lm_head_bias,
+                         name="lm_head")(x[:, :1])
+            return x if kv_caches is None else (x, new_caches)
         logits = nn.Dense(
             cfg.padded_vocab, use_bias=cfg.lm_head_bias, name="lm_head"
         )(x)

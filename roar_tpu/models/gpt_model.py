@@ -35,6 +35,10 @@ class GPTLMModel:
             config_from_name(name, **overrides) if name else GPTConfig(**overrides)
         )
         self.module = GPT(self.config)
+        # fused lm_head + cross entropy (ops/fused_ce.py): identical math,
+        # but the [B, S, V] logits never land in HBM.  On by default; the
+        # unfused formulation stays as the A/B + parity baseline.
+        self.fused_ce = bool(cfg.get("fused_ce", True))
 
     def init_params(self, rng, batch):
         tokens = jnp.asarray(batch["input_ids"])
@@ -50,9 +54,24 @@ class GPTLMModel:
         """Packed causal cross entropy.  ``labels`` are the next-token ids
         (CausalLMDataset); an optional ``loss_mask`` (0/1) supports padded
         or instruction-masked batches."""
+        labels = jnp.asarray(batch["labels"])
+        if self.fused_ce:
+            from roar_tpu.ops.fused_ce import fused_cross_entropy
+
+            hidden = self.module.apply(
+                params, jnp.asarray(batch["input_ids"]), return_hidden=True)
+            p = params["params"] if "params" in params else params
+            head = p["lm_head"]
+            loss, acc = fused_cross_entropy(
+                hidden, head["kernel"], labels, bias=head.get("bias"),
+                loss_mask=batch.get("loss_mask"))
+            return loss, {
+                "loss": loss,
+                "ppl": jnp.exp(jnp.minimum(loss, 20.0)),
+                "token_acc": acc,
+            }
         logits = self.module.apply(params, jnp.asarray(batch["input_ids"]))
         logits = logits.astype(jnp.float32)
-        labels = jnp.asarray(batch["labels"])
         logz = jax.nn.logsumexp(logits, axis=-1)
         gold = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
         nll = logz - gold

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import numpy as np
 
 
-def build_step(model_name: str, batch: int, precision):
+def build_step(model_name: str, batch: int, precision, fused_ce: bool = False):
     """(step_fn, args) for one compiled train step at bench shapes."""
     import jax
     import jax.numpy as jnp
@@ -107,10 +107,19 @@ def build_step(model_name: str, batch: int, precision):
         opt = optax.adamw(3e-4, b1=0.9, b2=0.95, mu_dtype=jnp.bfloat16)
         opt_state = jax.jit(opt.init)(params)
 
-        def loss_fn(p, tok, tgt):
-            logits = model.apply(p, tok).astype(jnp.float32)
-            lp = jax.nn.log_softmax(logits)
-            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+        if fused_ce:
+            from roar_tpu.ops.fused_ce import fused_cross_entropy
+
+            def loss_fn(p, tok, tgt):
+                hidden = model.apply(p, tok, return_hidden=True)
+                loss, _ = fused_cross_entropy(
+                    hidden, p["params"]["lm_head"]["kernel"], tgt)
+                return loss
+        else:
+            def loss_fn(p, tok, tgt):
+                logits = model.apply(p, tok).astype(jnp.float32)
+                lp = jax.nn.log_softmax(logits)
+                return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
 
         @_partial(jax.jit, donate_argnums=(0,))
         def step(state, toks, tgts):
@@ -271,6 +280,8 @@ def main():
     p.add_argument("--json", action="store_true")
     p.add_argument("--trace-dir", default=None,
                    help="parse an existing trace instead of capturing one")
+    p.add_argument("--fused-ce", action="store_true", dest="fused_ce",
+                   help="gpt1b: fused lm_head+cross-entropy loss")
     args = p.parse_args()
 
     trace_dir = args.trace_dir
@@ -281,7 +292,7 @@ def main():
 
         enable_persistent_compilation_cache()
         prec = None if args.precision == "none" else args.precision
-        step, sargs = build_step(args.model, args.batch, prec)
+        step, sargs = build_step(args.model, args.batch, prec, args.fused_ce)
         # the steps donate their state (argnums 0): thread the returned
         # state through, or the second call reads a deleted buffer
         state, rest = sargs[0], sargs[1:]

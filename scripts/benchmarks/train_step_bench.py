@@ -295,10 +295,19 @@ def bench_gpt_1b(args):
     opt = optax.adamw(3e-4, b1=0.9, b2=0.95, mu_dtype=jnp.bfloat16)
     opt_state = jax.jit(opt.init)(params)
 
-    def loss_fn(p, tok, tgt):
-        logits = model.apply(p, tok).astype(jnp.float32)
-        lp = jax.nn.log_softmax(logits)
-        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+    if args.fused_ce:
+        from roar_tpu.ops.fused_ce import fused_cross_entropy
+
+        def loss_fn(p, tok, tgt):
+            hidden = model.apply(p, tok, return_hidden=True)
+            loss, _ = fused_cross_entropy(
+                hidden, p["params"]["lm_head"]["kernel"], tgt)
+            return loss
+    else:
+        def loss_fn(p, tok, tgt):
+            logits = model.apply(p, tok).astype(jnp.float32)
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
 
     from functools import partial as _partial
 
@@ -331,6 +340,7 @@ def bench_gpt_1b(args):
         "metric": "gpt_1b_train_step_ms", "value": round(dt * 1000, 1),
         "unit": "ms/step", "model": "tiny-llama-1.1b", "params": n_params,
         "batch": B, "seq": S, "accum": K, "flash": bool(args.flash),
+        "fused_ce": bool(args.fused_ce),
         "precision": "bf16", "tokens_per_sec": round(tokens / dt, 1),
         "mfu_model": (round(model_flops / dt / peak_flops, 4)
                       if peak_flops else None),
@@ -350,6 +360,9 @@ def main():
     p.add_argument("--accum", type=int, default=4,
                    help="gpt_1b: grad-accumulation microbatches")
     p.add_argument("--flash", action="store_true", help="gpt: use_flash=True")
+    p.add_argument("--fused-ce", action="store_true", dest="fused_ce",
+                   help="gpt_1b: fused lm_head+cross-entropy "
+                        "(ops/fused_ce.py) instead of materialized logits")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="extra config dotlist overrides (hifigan: e.g. "
                         "model.msd_variant=dense)")

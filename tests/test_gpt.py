@@ -250,3 +250,97 @@ def test_gpt_tp_equivalence_d1024():
 
         ctrl_p, err_p = max_rel(p_a, p_c), max_rel(p_a, p_b)
         assert err_p <= max(64.0 * ctrl_p, 5e-4), (scan, err_p, ctrl_p)
+
+
+def test_fused_cross_entropy_matches_unfused():
+    """ops/fused_ce.py vs the plain logsumexp formulation: loss, accuracy
+    and gradients (hidden, lm_head kernel+bias) must match to fp32
+    tolerance for every chunking, with and without a loss mask."""
+    from roar_tpu.ops.fused_ce import fused_cross_entropy
+
+    rng = np.random.default_rng(0)
+    b, s, d, v = 2, 12, 16, 37
+    hidden = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, v)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((v,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, (b, s)), jnp.float32)
+
+    def unfused(hidden, w, bias, mask):
+        logits = (hidden @ w + bias).astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, labels[..., None], -1)[..., 0]
+        nll = logz - gold
+        if mask is None:
+            return jnp.mean(nll)
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    for m in (None, mask):
+        for chunk in (3, 8, 512):
+            fused = lambda h, w_, b_, m_: fused_cross_entropy(
+                h, w_, labels, bias=b_, loss_mask=m_, chunk=chunk)[0]
+            l_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2))(
+                hidden, w, bias, m)
+            l_u, g_u = jax.value_and_grad(unfused, argnums=(0, 1, 2))(
+                hidden, w, bias, m)
+            np.testing.assert_allclose(l_f, l_u, rtol=1e-6, atol=1e-6)
+            for a, b_ in zip(g_f, g_u):
+                np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-6)
+
+    # accuracy output matches the argmax formulation
+    logits = hidden @ w + bias
+    acc_ref = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    _, acc = fused_cross_entropy(hidden, w, labels, bias=bias, chunk=8)
+    np.testing.assert_allclose(acc, acc_ref, rtol=1e-6)
+
+
+def test_fused_ce_no_bias_and_bf16():
+    """bf16 hiddens/weights: the fused path's fp32-accumulated loss must
+    match the unfused fp32-upcast formulation bit-for-bit in value (same
+    matmul precision), and grads must come back in the input dtypes."""
+    from roar_tpu.ops.fused_ce import fused_cross_entropy
+
+    rng = np.random.default_rng(1)
+    b, s, d, v = 2, 8, 16, 33
+    hidden = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((d, v)) * 0.1, jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+
+    loss, _ = fused_cross_entropy(hidden, w, labels, chunk=4)
+    logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    ref = jnp.mean(jax.nn.logsumexp(logits, -1)
+                   - jnp.take_along_axis(logits, labels[..., None], -1)[..., 0])
+    np.testing.assert_allclose(loss, ref, rtol=1e-6)
+
+    g = jax.grad(lambda h, w_: fused_cross_entropy(h, w_, labels)[0],
+                 argnums=(0, 1))(hidden, w)
+    assert g[0].dtype == jnp.bfloat16 and g[1].dtype == jnp.bfloat16
+
+
+def test_gpt_lm_model_fused_ce_matches_unfused():
+    """GPTLMModel with fused_ce on/off: same loss/metrics and same grads
+    (the fused path swaps in return_hidden + ops/fused_ce.py)."""
+    from roar_tpu.models.gpt_model import GPTLMModel
+
+    base = dict(vocab_size=50, block_size=16, n_layer=2, n_head=4,
+                n_embd=32, n_query_groups=2, intermediate_size=64)
+    rng = np.random.default_rng(2)
+    batch = {
+        "input_ids": rng.integers(0, 50, (2, 16)).astype(np.int32),
+        "labels": rng.integers(0, 50, (2, 16)).astype(np.int32),
+        "loss_mask": rng.integers(0, 2, (2, 16)).astype(np.float32),
+    }
+    m_fused = GPTLMModel({**base, "fused_ce": True})
+    m_plain = GPTLMModel({**base, "fused_ce": False})
+    params = m_fused.init_params(jax.random.PRNGKey(0), batch)
+
+    (l_f, mf), g_f = jax.value_and_grad(m_fused.loss_fn, has_aux=True)(
+        params, batch)
+    (l_u, mu), g_u = jax.value_and_grad(m_plain.loss_fn, has_aux=True)(
+        params, batch)
+    np.testing.assert_allclose(l_f, l_u, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mf["token_acc"], mu["token_acc"], rtol=1e-6)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    flat_u = jax.tree_util.tree_leaves(g_u)
+    for a, b in zip(flat_f, flat_u):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
