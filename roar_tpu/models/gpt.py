@@ -82,6 +82,11 @@ class GPTConfig:
     # convert a scanned checkpoint for decode).
     scan_layers: bool = False
     remat: bool = False
+    # "nothing": store nothing, recompute the whole block (max memory
+    # savings); "flash": store the flash kernel's out/l/m residuals so the
+    # backward pass skips the forward-kernel recompute (~17 MB/layer at
+    # B=1 S=4096; measured -116 ms on the 1.1B step, DESIGN.md §7i).
+    remat_policy: str = "nothing"
 
     @property
     def head_size(self) -> int:
@@ -511,10 +516,22 @@ def _causal_flash(q, k, v, mask, scale):
         ids = jnp.where(mask, 0, 1).astype(jnp.int32)
         seg = SegmentIds(q=ids, kv=ids)
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
-    out = flash_attention(
-        qt, kt, vt, causal=True, segment_ids=seg, sm_scale=scale,
-        block_sizes=_flash_block_sizes(t_pad),
-    )
+    if seg is None:
+        # remat-friendly wrapper: same kernels, but the VJP residuals are
+        # checkpoint_name'd so remat_policy="flash" can store them instead
+        # of re-running the forward kernel in the backward pass
+        # (ops/flash_remat.py; bit-identical grads either way).
+        from roar_tpu.ops.flash_remat import flash_attention_saveable
+
+        out = flash_attention_saveable(
+            qt, kt, vt, causal=True, sm_scale=scale,
+            block_sizes=_flash_block_sizes(t_pad),
+        )
+    else:
+        out = flash_attention(
+            qt, kt, vt, causal=True, segment_ids=seg, sm_scale=scale,
+            block_sizes=_flash_block_sizes(t_pad),
+        )
     return jnp.swapaxes(out, 1, 2)[:, :t]
 
 
@@ -647,13 +664,19 @@ class GPT(nn.Module):
         if cfg.scale_embeddings:  # Gemma
             x = x * jnp.asarray(np.sqrt(cfg.n_embd), x.dtype)
         new_caches = []
+        remat_kwargs = {}
+        if cfg.remat and cfg.remat_policy == "flash":
+            from roar_tpu.ops.flash_remat import flash_remat_policy
+
+            remat_kwargs["policy"] = flash_remat_policy()
         if cfg.scan_layers and kv_caches is None:
             # one compiled Block under lax.scan, params stacked [n_layer,…];
             # with cfg.remat the backward recomputes each block instead of
             # storing its activations.  pos_offset stays a static argnum so
             # the flash-eligibility check (isinstance int) survives remat.
             block_cls = (
-                nn.remat(Block, static_argnums=(2,), prevent_cse=False)
+                nn.remat(Block, static_argnums=(2,), prevent_cse=False,
+                         **remat_kwargs)
                 if cfg.remat
                 else Block
             )
@@ -673,7 +696,8 @@ class GPT(nn.Module):
                     "and use scan_layers=False"
                 )
             block_cls = (
-                nn.remat(Block, static_argnums=(2,), prevent_cse=False)
+                nn.remat(Block, static_argnums=(2,), prevent_cse=False,
+                         **remat_kwargs)
                 if cfg.remat
                 else Block
             )

@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import numpy as np
 
 
-def build_step(model_name: str, batch: int, precision, fused_ce: bool = False):
+def build_step(model_name: str, batch: int, precision, fused_ce: bool = False,
+               remat_policy: str = "nothing"):
     """(step_fn, args) for one compiled train step at bench shapes."""
     import jax
     import jax.numpy as jnp
@@ -95,7 +96,8 @@ def build_step(model_name: str, batch: int, precision, fused_ce: bool = False):
 
         seq, accum = 4096, 4
         cfg = config_from_name("tiny-llama-1.1b", block_size=seq,
-                               scan_layers=True, remat=True, use_flash=True)
+                               scan_layers=True, remat=True, use_flash=True,
+                               remat_policy=remat_policy)
         model = GPT(cfg)
         B, S, K = max(1, batch // 16), seq, accum
         toks = jnp.asarray(
@@ -282,6 +284,9 @@ def main():
                    help="parse an existing trace instead of capturing one")
     p.add_argument("--fused-ce", action="store_true", dest="fused_ce",
                    help="gpt1b: fused lm_head+cross-entropy loss")
+    p.add_argument("--remat-policy", default="nothing", dest="remat_policy",
+                   choices=["nothing", "flash"],
+                   help="gpt1b: 'flash' saves flash residuals across remat")
     args = p.parse_args()
 
     trace_dir = args.trace_dir
@@ -292,7 +297,8 @@ def main():
 
         enable_persistent_compilation_cache()
         prec = None if args.precision == "none" else args.precision
-        step, sargs = build_step(args.model, args.batch, prec, args.fused_ce)
+        step, sargs = build_step(args.model, args.batch, prec, args.fused_ce,
+                                  args.remat_policy)
         # the steps donate their state (argnums 0): thread the returned
         # state through, or the second call reads a deleted buffer
         state, rest = sargs[0], sargs[1:]

@@ -281,7 +281,7 @@ def bench_gpt_1b(args):
 
     cfg = config_from_name(
         "tiny-llama-1.1b", block_size=args.seq, scan_layers=True, remat=True,
-        use_flash=args.flash,
+        use_flash=args.flash, remat_policy=args.remat_policy,
     )
     model = GPT(cfg)
     B, S, K = args.batch, args.seq, args.accum
@@ -341,6 +341,7 @@ def bench_gpt_1b(args):
         "unit": "ms/step", "model": "tiny-llama-1.1b", "params": n_params,
         "batch": B, "seq": S, "accum": K, "flash": bool(args.flash),
         "fused_ce": bool(args.fused_ce),
+        "remat_policy": args.remat_policy,
         "precision": "bf16", "tokens_per_sec": round(tokens / dt, 1),
         "mfu_model": (round(model_flops / dt / peak_flops, 4)
                       if peak_flops else None),
@@ -363,6 +364,11 @@ def main():
     p.add_argument("--fused-ce", action="store_true", dest="fused_ce",
                    help="gpt_1b: fused lm_head+cross-entropy "
                         "(ops/fused_ce.py) instead of materialized logits")
+    p.add_argument("--remat-policy", default="nothing", dest="remat_policy",
+                   choices=["nothing", "flash"],
+                   help="gpt_1b: remat policy — 'flash' saves the flash "
+                        "kernel residuals across the remat boundary "
+                        "(ops/flash_remat.py)")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="extra config dotlist overrides (hifigan: e.g. "
                         "model.msd_variant=dense)")

@@ -344,3 +344,43 @@ def test_gpt_lm_model_fused_ce_matches_unfused():
     flat_u = jax.tree_util.tree_leaves(g_u)
     for a, b in zip(flat_f, flat_u):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+
+def test_flash_remat_policy():
+    """remat_policy="flash" must be a pure schedule knob: same loss, same
+    gradients as remat_policy="nothing" under scan_layers+remat.
+
+    On TPU this exercises ops/flash_remat.py (the saveable custom_vjp wraps
+    the real Pallas kernels; verified bit-identical grads on a v5e chip,
+    DESIGN.md §7i).  Off TPU the attention falls back to einsum and the
+    save_only_these_names policy matches nothing — which still proves the
+    config plumbing (policy threaded through nn.remat in both scan and
+    unrolled paths) doesn't perturb the computation.
+    """
+    kw = dict(scan_layers=True, remat=True, use_flash=True, block_size=64)
+    tok = jnp.asarray(
+        np.random.default_rng(0).integers(0, 50, (2, 64)), jnp.int32
+    )
+    tgt = jnp.asarray(
+        np.random.default_rng(1).integers(0, 50, (2, 64)), jnp.int32
+    )
+
+    def make(policy):
+        model = GPT(tiny_cfg(**kw, remat_policy=policy))
+
+        def f(p):
+            lp = jax.nn.log_softmax(
+                model.apply(p, tok).astype(jnp.float32), -1
+            )
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+        return model, jax.jit(jax.value_and_grad(f))
+
+    m0, f0 = make("nothing")
+    _, f1 = make("flash")
+    params = m0.init(jax.random.PRNGKey(0), tok)
+    l0, g0 = f0(params)
+    l1, g1 = f1(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

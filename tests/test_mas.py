@@ -74,6 +74,28 @@ def test_mas_batched_variable_lengths():
         assert (got[i, : mel_lens[i], : text_lens[i]].sum(axis=0) >= 1).all()
 
 
+def test_mas_blocked_equals_sequential():
+    """mas_width1_blocked (two-level banded max-plus + map-composition
+    backtrack) must reproduce mas_width1 exactly: every block size,
+    ragged T_mel (padding-operator path), variable lengths."""
+    from roar_tpu.ops.mas import mas_width1_blocked
+
+    rng = np.random.default_rng(7)
+    for b, t_mel, t_text, blk in [
+        (3, 7, 5, 4), (2, 33, 17, 8), (4, 64, 24, 32),
+        (2, 97, 40, 32), (1, 3, 2, 2), (2, 130, 24, 64),
+    ]:
+        la = jnp.asarray(rng.standard_normal((b, t_mel, t_text)), jnp.float32)
+        tl = jnp.asarray(rng.integers(1, t_text + 1, (b,)), jnp.int32)
+        ml = jnp.asarray(
+            np.maximum(rng.integers(1, t_mel + 1, (b,)), np.asarray(tl)),
+            jnp.int32,
+        )
+        a = np.asarray(mas_width1(la, tl, ml))
+        c = np.asarray(mas_width1_blocked(la, tl, ml, block=blk))
+        np.testing.assert_array_equal(a, c, err_msg=str((b, t_mel, t_text, blk)))
+
+
 def test_mas_prefers_diagonal():
     t_mel, t_text = 50, 10
     ii = np.arange(t_mel)[:, None] / t_mel
