@@ -111,7 +111,7 @@ def bench_jets(args, config_name: str):
         root / f"configs/{config_name}.yaml",
         overrides=["train_dataset=x", "validation_datasets=x", "sup_data_path=x",
                    "pitch_mean=170.0", "pitch_std=60.0",
-                   "model.speaker_encoder.lookup_module.n_speakers=4"],
+                   "model.speaker_encoder.lookup_module.n_speakers=4"] + args.set,
     )
     model = JETSModel(cfg["model"])
     hop = model.hop_length
